@@ -1,0 +1,29 @@
+from pnnp_tpu.ops.bayer import (
+    pack_bayer,
+    unpack_bayer,
+    bayer2rggb,
+    rggb2bayer,
+    bayer2rows,
+    rows2bayer,
+    raw2bayer,
+    bayer2raw,
+)
+from pnnp_tpu.ops.isp import (
+    apply_gains,
+    apply_ccms,
+    gamma_compression,
+    raw2lrgb,
+    process,
+    simple_isp,
+    fast_isp,
+    bilinear_demosaic,
+)
+from pnnp_tpu.ops.vst import vst, inverse_vst
+from pnnp_tpu.ops.tukey import (
+    tukeylambda_ppf,
+    tukeylambda_cdf,
+    tukeylambda_sample,
+)
+from pnnp_tpu.ops.metrics import psnr, ssim, quality_assess
+from pnnp_tpu.ops.tiling import eval_crop, eval_merge, tiled_apply
+from pnnp_tpu.ops.correct import illuminance_correct
