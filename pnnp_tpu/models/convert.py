@@ -1,0 +1,113 @@
+"""torch <-> flax checkpoint conversion for the denoiser family.
+
+The reference trains NCHW torch models and stores plain ``state_dict`` .pth
+files (reference: trainer_SID.py:131-136, utils/utils.py:148-192). Our models
+are NHWC flax modules with matching submodule names, so conversion is a pure
+name/layout mapping:
+
+  * Conv2d        weight [O, I, kh, kw] -> kernel [kh, kw, I, O]
+  * ConvTranspose weight [I, O, kh, kw] -> kernel [kh, kw, I, O]
+  * biases map 1:1
+
+``load_weights``-style tolerance (skip by name/shape with warnings) is
+preserved for partially-matching checkpoints.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _set_nested(tree: dict, path: list[str], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def torch_state_to_flax(
+    state_dict: Mapping[str, Any],
+    transpose_names: tuple[str, ...] = ("upv", "up", "deconv"),
+) -> dict:
+    """Convert a torch ``state_dict`` (tensors or ndarrays) to a flax param tree.
+
+    Keys like ``conv1_1.weight`` become ``{'conv1_1': {'kernel': ...}}``;
+    a ``module.`` prefix (DataParallel) is stripped, mirroring the reference's
+    unwrap (trainer_SID.py:133). Submodule paths with dots nest naturally
+    (``conv1.conv1.weight`` -> conv1/conv1/kernel for residual blocks).
+    """
+    params: dict = {}
+    for key, val in state_dict.items():
+        arr = np.asarray(val.detach().cpu().numpy() if hasattr(val, "detach") else val)
+        if key.startswith("module."):
+            key = key[len("module."):]
+        *path, leaf = key.split(".")
+        leaf_name = {"weight": "kernel", "bias": "bias"}[leaf]
+        if leaf == "weight" and arr.ndim == 4:
+            is_transpose = any(t in path[-1] for t in transpose_names)
+            if is_transpose:
+                arr = arr.transpose(2, 3, 0, 1)  # [I,O,kh,kw] -> [kh,kw,I,O]
+            else:
+                arr = arr.transpose(2, 3, 1, 0)  # [O,I,kh,kw] -> [kh,kw,I,O]
+        _set_nested(params, path + [leaf_name], arr)
+    return params
+
+
+def flax_to_torch_state(params: Mapping[str, Any],
+                        transpose_names: tuple[str, ...] = ("upv", "up", "deconv")) -> dict:
+    """Inverse mapping, for exporting checkpoints back to reference tooling."""
+    out: dict = {}
+
+    def walk(node, path):
+        if isinstance(node, Mapping) and "kernel" not in node and "bias" not in node:
+            for k, v in node.items():
+                walk(v, path + [k])
+            return
+        name = ".".join(path)
+        if "kernel" in node:
+            arr = np.asarray(node["kernel"])
+            if arr.ndim == 4:
+                if any(t in path[-1] for t in transpose_names):
+                    arr = arr.transpose(2, 3, 0, 1)
+                else:
+                    arr = arr.transpose(3, 2, 0, 1)
+            out[name + ".weight"] = arr
+        if "bias" in node:
+            out[name + ".bias"] = np.asarray(node["bias"])
+
+    walk(params, [])
+    return out
+
+
+def load_tolerant(target_params: dict, loaded_params: dict, by_name: bool = True) -> dict:
+    """Name/shape-tolerant merge of ``loaded_params`` into ``target_params``.
+
+    JAX analog of the reference's forgiving checkpoint loader
+    (utils/utils.py:148-192): entries missing from the checkpoint or with
+    mismatched shapes keep the target's values, with a warning.
+    """
+    import jax
+
+    flat_t = {tuple(str(k.key) for k in p): v
+              for p, v in jax.tree_util.tree_flatten_with_path(target_params)[0]}
+    flat_l = {tuple(str(k.key) for k in p): v
+              for p, v in jax.tree_util.tree_flatten_with_path(loaded_params)[0]}
+
+    merged = {}
+    for path, tv in flat_t.items():
+        if path in flat_l and tuple(np.shape(flat_l[path])) == tuple(np.shape(tv)):
+            merged[path] = np.asarray(flat_l[path], dtype=np.asarray(tv).dtype)
+        else:
+            if by_name and path in flat_l:
+                warnings.warn(f"shape mismatch for {'/'.join(path)}; keeping init")
+            elif path not in flat_l:
+                warnings.warn(f"missing {'/'.join(path)} in checkpoint; keeping init")
+            merged[path] = tv
+
+    tree = {}
+    for path, v in merged.items():
+        _set_nested(tree, list(path), v)
+    return tree

@@ -1,0 +1,92 @@
+"""Signal-dependent (shot-noise) and gain bijectors with ISO interpolation.
+
+Re-designs of reference archs/flow_layers/signal_dependant.py:19-73 and
+gain.py:65-110. Per-ISO camera parameters live on a 31-entry "legal ISO"
+ladder; a queried ISO linearly interpolates its exp-params between bracketing
+ladder entries (searchsorted). All interpolation is branch-free so a traced
+per-batch ISO works inside jit.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pnnp_tpu.models.flows.base import Bijector, sum_except_batch
+from pnnp_tpu.physics.calibration import LEGAL_ISO
+
+
+def _interp_iso(legal_iso: jnp.ndarray, cam_param: jnp.ndarray, iso: jnp.ndarray):
+    """exp-interpolate rows of ``cam_param`` at ``iso`` between ladder entries.
+
+    ``iso`` scalar or [n]; returns exp(cam_param) rows interpolated, shape
+    ``iso.shape + cam_param.shape[1:]``.
+    """
+    iso = jnp.asarray(iso, jnp.float32)
+    l = jnp.clip(jnp.searchsorted(legal_iso, iso, side="left"), 0, len(LEGAL_ISO) - 1)
+    r = jnp.clip(jnp.searchsorted(legal_iso, iso, side="right"), 0, len(LEGAL_ISO) - 1)
+    iso_l, iso_r = legal_iso[l], legal_iso[r]
+    cp_l = jnp.exp(cam_param[l])
+    cp_r = jnp.exp(cam_param[r])
+    denom = iso_r - iso_l
+    w_shape = denom.shape + (1,) * (cp_l.ndim - denom.ndim)
+    interp = (
+        (iso - iso_l).reshape(w_shape) * cp_r + (iso_r - iso).reshape(w_shape) * cp_l
+    ) / jnp.where(denom == 0, 1.0, denom).reshape(w_shape)
+    return jnp.where((denom == 0).reshape(w_shape), cp_l, interp)
+
+
+class SignalDependantISO(Bijector):
+    """scale = sqrt(beta1 * clean / gain(iso) + beta2) (reference sdn layer)."""
+
+    def setup(self):
+        self.legal_iso = jnp.asarray(LEGAL_ISO)
+        # Frozen per-ISO modifiers (requires_grad=False in the reference).
+        self.cam_param = self.variable(
+            "flow_const", "cam_param", lambda: jnp.zeros((len(LEGAL_ISO), 3))
+        )
+        self.gain = self.param("gain", lambda rng: jnp.float32(-6.0))
+        self.beta1 = self.param("beta1", lambda rng: jnp.float32(-5.0))
+        self.beta2 = self.param("beta2", lambda rng: jnp.float32(-4.0))
+
+    def _scale(self, clean, iso):
+        cp = _interp_iso(self.legal_iso, self.cam_param.value, iso)  # [..., 3]
+        beta1 = jnp.exp(self.beta1 * cp[..., 0])
+        beta2 = jnp.exp(self.beta2 * cp[..., 1])
+        gain = jnp.exp(self.gain * cp[..., 2]) * iso
+        shape = beta1.shape + (1,) * (clean.ndim - beta1.ndim)
+        scale = beta1.reshape(shape) * clean / gain.reshape(shape) + beta2.reshape(shape)
+        return jnp.sqrt(jnp.maximum(scale, 1e-12))
+
+    def forward_ldj(self, x, clean=None, iso=None, **ctx):
+        scale = self._scale(clean, iso)
+        z = x / scale
+        return z, -sum_except_batch(jnp.log(jnp.broadcast_to(scale, x.shape)))
+
+    def inverse(self, z, clean=None, iso=None, **ctx):
+        return z * self._scale(clean, iso)
+
+
+class GainISO(Bijector):
+    """scale = exp(cam_param(iso) * gain_params) * iso (reference gain.py:65-110)."""
+
+    def setup(self):
+        self.legal_iso = jnp.asarray(LEGAL_ISO)
+        self.cam_param = self.param("cam_param", lambda rng: jnp.zeros((len(LEGAL_ISO),)))
+        self.gain_params = self.param("gain_params", lambda rng: jnp.float32(-5.0))
+
+    def _scale(self, iso):
+        cp = _interp_iso(self.legal_iso, self.cam_param, iso)
+        return jnp.exp(cp * self.gain_params) * iso
+
+    def forward_ldj(self, x, iso=None, **ctx):
+        scale = self._scale(jnp.asarray(iso, jnp.float32))
+        shape = scale.shape + (1,) * (x.ndim - scale.ndim)
+        scale_b = jnp.broadcast_to(scale.reshape(shape), x.shape)
+        z = x / scale_b
+        return z, -sum_except_batch(jnp.log(scale_b))
+
+    def inverse(self, z, iso=None, **ctx):
+        scale = self._scale(jnp.asarray(iso, jnp.float32))
+        shape = scale.shape + (1,) * (z.ndim - scale.ndim)
+        return z * scale.reshape(shape)

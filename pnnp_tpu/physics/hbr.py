@@ -1,0 +1,112 @@
+"""HighBitRecovery: remap quantized low-bit bias frames to continuous read noise.
+
+The reference builds a per-ISO CDF/PPF lookup table with scipy and then loops
+over every integer intensity on the CPU (reference: data_process/process.py:
+675-751). Here the LUT is a pair of dense arrays built once at init (host
+side), and ``map`` is a single fused gather + inverse-CDF evaluation that runs
+on-device and vmaps over batches — no per-intensity loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import stats
+
+from pnnp_tpu.ops.tukey import tukeylambda_ppf
+from pnnp_tpu.physics.sampling import sample_params_max
+
+
+class HighBitRecovery:
+    """LUT-based low-bit -> high-bit noise remapping.
+
+    Parameters mirror the reference class: ``noise_code`` selects the read
+    noise distribution ('g' -> Tukey-lambda, else Gaussian), ``factor`` is the
+    +-N-sigma addressing range, ``use_float`` preserves sub-ADU deltas.
+    """
+
+    def __init__(self, camera_type="IMX686", noise_code="prq", perturb=True,
+                 factor=6, use_float=True):
+        self.camera_type = camera_type
+        self.noise_code = noise_code
+        self.perturb = perturb
+        self.factor = factor
+        self.use_float = use_float
+        self.lut: dict = {}
+
+    def get_lut(self, iso_list, blc_mean=None, seed=0):
+        rng = np.random.default_rng(seed)
+        for iso in iso_list:
+            bias = 0.0 if blc_mean is None else float(np.mean(blc_mean[iso]))
+            if self.perturb:
+                bias += float(rng.standard_normal()) * 0.1
+            self.lut[iso] = self._build(iso, bias, seed=seed)
+
+    def _build(self, iso, bias=0.0, param=None, seed=0):
+        # Calibrated params for this ISO (host-side, one draw like the reference).
+        key = jax.random.key(seed + int(iso))
+        if param is None:
+            p = jax.tree.map(lambda a: np.asarray(a)[0],
+                             sample_params_max(key, self.camera_type, n=1, iso=iso))
+        else:
+            p = param
+        use_tl = "g" in self.noise_code.lower()
+        if use_tl:
+            dist = stats.tukeylambda(float(p["lam"]), loc=bias, scale=float(p["sigTL"]))
+            sigma = float(p["sigTL"])
+        else:
+            dist = stats.norm(loc=bias, scale=float(p["sigGs"]))
+            sigma = float(p["sigGs"])
+
+        low = max(int(-sigma * self.factor + bias), -int(p["bl"]) + 1)
+        high = int(sigma * self.factor + bias)
+        xs = np.arange(low, high)
+        cdf_lo = dist.cdf(xs - 0.5)
+        cdf_hi = dist.cdf(xs + 0.5)
+        return dict(
+            param=p,
+            low=low,
+            high=high,
+            bias=np.float32(bias),
+            sigma=np.float32(sigma),
+            use_tl=use_tl,
+            lam=np.float32(p["lam"]),
+            scale=np.float32(sigma),
+            cdf=jnp.asarray(cdf_lo, jnp.float32),
+            rng=jnp.asarray(cdf_hi - cdf_lo, jnp.float32),
+        )
+
+    def map(self, key: jax.Array, data: jnp.ndarray, iso=6400, norm=True) -> jnp.ndarray:
+        """Remap quantized data (normalized [0,1] or ADU) through the ISO's LUT.
+
+        Fully vectorized device op (reference loops per intensity at
+        process.py:738-743). Values outside [low, high) pass through unchanged.
+        """
+        lut = self.lut[iso]
+        p = lut["param"]
+        span = float(p["wp"]) - float(p["bl"])
+        # Reference heuristic: inputs <= 1 are normalized.
+        is_norm = jnp.max(data) <= 1.0
+        data_adu = jnp.where(is_norm, data * span, data)
+        data_r = jnp.round(data_adu)
+        delta = data_adu - data_r
+
+        idx = data_r.astype(jnp.int32) - lut["low"]
+        nbin = lut["cdf"].shape[0]
+        valid = (idx >= 0) & (idx < nbin)
+        idx_c = jnp.clip(idx, 0, max(nbin - 1, 0))
+        u = lut["cdf"][idx_c] + jax.random.uniform(key, data.shape) * lut["rng"][idx_c]
+        u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+        if lut["use_tl"]:
+            mapped = lut["bias"] + lut["scale"] * tukeylambda_ppf(u, lut["lam"])
+        else:
+            from jax.scipy.special import ndtri
+
+            mapped = lut["bias"] + lut["scale"] * ndtri(u)
+        out = jnp.where(valid, mapped, data_r)
+        if self.use_float:
+            out = out + delta
+        if norm:
+            return out / span
+        return out + float(p["bl"])
