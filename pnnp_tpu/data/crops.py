@@ -1,0 +1,70 @@
+"""Host-side crop planning + geometric augmentation (NumPy, NHWC).
+
+Mirrors reference data_process/real_datasets.py:98-136, 192-203: a per-frame
+crop plan (random or non-overlapped grid) shared by all views of the frame
+(so paired lr/hr and video frames crop identically), and the 4-mode aug
+{identity, rot180, W-flip, rot180+W-flip} — rot90 is excluded because row
+noise is directional.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class CropPlanner:
+    """Plans crop windows + aug modes for one frame; reused across its views."""
+
+    def __init__(self, h: int, w: int, patch_size: int, crop_per_image: int = 8,
+                 croptype: str = "non-overlapped", rng: np.random.Generator | None = None):
+        self.h, self.w = h, w
+        self.patch = patch_size
+        self.n = crop_per_image
+        self.croptype = croptype
+        self.rng = rng or np.random.default_rng()
+        self.replan()
+
+    def replan(self):
+        p = self.patch
+        rng = self.rng
+        self.aug = rng.integers(0, 4, size=self.n)
+        hs, ws = [], []
+        if self.croptype == "non-overlapped":
+            nh = self.h // p
+            nw = self.w // p
+            h0 = rng.integers(0, self.h - nh * p + 1)
+            w0 = rng.integers(0, self.w - nw * p + 1)
+            for i in range(nh):
+                for j in range(nw):
+                    hs.append(h0 + i * p)
+                    ws.append(w0 + j * p)
+            self.n_planned = len(hs)
+        else:
+            for _ in range(self.n):
+                hs.append(rng.integers(0, self.h - p + 1))
+                ws.append(rng.integers(0, self.w - p + 1))
+            self.n_planned = self.n
+        self.h_start = np.array(hs)
+        self.w_start = np.array(ws)
+
+    @staticmethod
+    def augment(img: np.ndarray, mode: int) -> np.ndarray:
+        """mode 0: id, 1: rot180, 2: flip-W, 3: rot180+flip-W (HWC arrays)."""
+        if mode == 0:
+            return img
+        if mode % 2:
+            img = np.rot90(img, k=2, axes=(-3, -2))
+        if mode // 2:
+            img = img[..., ::-1, :]
+        return img
+
+    def crop(self, img: np.ndarray) -> np.ndarray:
+        """[h, w, c] -> [n, patch, patch, c] using the current plan."""
+        p = self.patch
+        n = min(self.n, len(self.h_start))
+        out = np.empty((n, p, p, img.shape[-1]), np.float32)
+        for i in range(n):
+            patch = img[self.h_start[i] : self.h_start[i] + p,
+                        self.w_start[i] : self.w_start[i] + p]
+            out[i] = self.augment(patch, int(self.aug[i]))
+        return out

@@ -1,0 +1,165 @@
+"""Dataset info index builder (offline tooling).
+
+Port of reference get_dataset_infos.py: walk SID/ELD/LRID trees, read
+ISO/exposure (EXIF when available, else filename conventions or sidecar
+JSON), read WB/CCM (rawpy when available), compute exposure ratios, and write
+the pickled list-of-dicts the datasets consume.
+
+Filename conventions (SID): ``{id}_{seq}_{exposure}s.ARW`` — exposure parses
+from the name, so indexes can build without EXIF libraries.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Optional
+
+import numpy as np
+
+from pnnp_tpu.data.io import save_info
+from pnnp_tpu.utils.logging import log
+
+# Fixed SonyA7S2 CCM used by the offline index builder (reference:
+# get_dataset_infos.py:5 SonyCCM constant).
+SONY_CCM = np.array(
+    [
+        [1.9712269, -0.6789218, -0.29230508],
+        [-0.29104823, 1.748401, -0.45735288],
+        [0.02051281, -0.5380369, 1.5175241],
+    ],
+    np.float32,
+)
+DEFAULT_WB = np.array([2.0, 1.0, 1.6, 1.0], np.float32)
+
+
+def _meta_for(path: str) -> dict:
+    """ISO/ExposureTime/WB/CCM for a raw file: sidecar JSON > exif > defaults."""
+    sidecar = os.path.splitext(path)[0] + ".json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            m = json.load(f)
+        return {
+            "ISO": int(m.get("ISO", 100)),
+            "ExposureTime": float(m.get("ExposureTime", 0.1)),
+            "wb": np.asarray(m.get("wb", DEFAULT_WB), np.float32),
+            "ccm": np.asarray(m.get("ccm", SONY_CCM), np.float32),
+        }
+    try:  # optional EXIF path
+        import exifread  # type: ignore
+
+        with open(path, "rb") as f:
+            tags = exifread.process_file(f, details=False)
+        expo = eval(str(tags.get("EXIF ExposureTime", tags.get("Image ExposureTime"))))
+        iso = int(str(tags.get("EXIF ISOSpeedRatings", tags.get("Image ISOSpeedRatings"))))
+        return {"ISO": iso, "ExposureTime": float(expo), "wb": DEFAULT_WB, "ccm": SONY_CCM}
+    except Exception:
+        pass
+    m = re.search(r"_(\d+(?:\.\d+)?)s\.", os.path.basename(path))
+    expo = float(m.group(1)) if m else 0.1
+    return {"ISO": 100, "ExposureTime": expo, "wb": DEFAULT_WB, "ccm": SONY_CCM}
+
+
+def get_sid_info(root_dir: str, out_path: str, mode: str = "train",
+                 pair_list: Optional[str] = None) -> list:
+    """Build the SID paired index: one entry per long exposure with the list
+    of its short exposures and ratios (reference: get_SID_info[_from_txt])."""
+    infos = []
+    if pair_list and os.path.exists(pair_list):
+        pairs: dict = {}
+        with open(pair_list) as f:
+            for line in f:
+                short, long_, *_ = line.split()
+                pairs.setdefault(long_, []).append(short)
+        for long_, shorts in pairs.items():
+            lp = os.path.join(root_dir, long_.lstrip("./"))
+            meta_l = _meta_for(lp)
+            shorts_full = [os.path.join(root_dir, s.lstrip("./")) for s in shorts]
+            ratios = [
+                meta_l["ExposureTime"] / _meta_for(s)["ExposureTime"] for s in shorts_full
+            ]
+            infos.append({
+                "name": os.path.basename(long_), "long": lp, "short": shorts_full,
+                "ratio": ratios, **meta_l,
+            })
+    else:
+        long_dir = os.path.join(root_dir, "long")
+        short_dir = os.path.join(root_dir, "short")
+        for lp in sorted(glob.glob(os.path.join(long_dir, "*"))):
+            if lp.endswith(".json"):
+                continue
+            fid = os.path.basename(lp).split("_")[0]
+            shorts = sorted(
+                s for s in glob.glob(os.path.join(short_dir, f"{fid}_*"))
+                if not s.endswith(".json")
+            )
+            if not shorts:
+                continue
+            meta_l = _meta_for(lp)
+            ratios = [meta_l["ExposureTime"] / _meta_for(s)["ExposureTime"] for s in shorts]
+            infos.append({
+                "name": os.path.basename(lp), "long": lp, "short": shorts,
+                "ratio": ratios, **meta_l,
+            })
+    save_info(infos, out_path)
+    log(f"SID[{mode}] index: {len(infos)} entries -> {out_path}")
+    return infos
+
+
+def get_eld_info(root_dir: str, out_path: str, camera: str = "SonyA7S2",
+                 suffix: str = ".ARW") -> list:
+    """Build the ELD index: scenes x 16 images, ratio vs the scene's first GT
+    (reference: get_ELD_info)."""
+    scenes = []
+    scene_dirs = sorted(
+        glob.glob(os.path.join(root_dir, camera, "scene-*")),
+        key=lambda p: int(p.rsplit("-", 1)[-1]),
+    )
+    for sd in scene_dirs:
+        files = sorted(
+            glob.glob(os.path.join(sd, f"IMG_*{suffix}"))
+            + glob.glob(os.path.join(sd, "IMG_*.npy"))
+        )
+        entries = []
+        metas = [_meta_for(p) for p in files]
+        if not metas:
+            continue
+        base = metas[0]["ISO"] * metas[0]["ExposureTime"]
+        for p, m in zip(files, metas):
+            ratio = base / (m["ISO"] * m["ExposureTime"])
+            entries.append({
+                "name": os.path.basename(p), "data": p, "ratio": round(ratio),
+                **m,
+            })
+        scenes.append(entries)
+    save_info(scenes, out_path)
+    log(f"ELD index: {len(scenes)} scenes -> {out_path}")
+    return scenes
+
+
+def get_lrid_info(root_dir: str, out_path: str, dstname: str = "indoor_x5") -> list:
+    """Build the LRID index: per scene, one GT + ratio-laddered shorts
+    (reference: get_IMX686_info_{long,short}). Layout:
+    ``{root}/{dstname}/{scene_id}/{GT|short}/*.dng[.npy]``."""
+    infos = []
+    scene_dirs = sorted(glob.glob(os.path.join(root_dir, dstname, "*")))
+    for sd in scene_dirs:
+        gts = sorted(
+            p for p in glob.glob(os.path.join(sd, "GT*", "*")) if not p.endswith(".json")
+        )
+        shorts = sorted(
+            p for p in glob.glob(os.path.join(sd, "short*", "*")) if not p.endswith(".json")
+        )
+        if not gts:
+            continue
+        meta_g = _meta_for(gts[0])
+        ratios = [meta_g["ExposureTime"] / _meta_for(s)["ExposureTime"] for s in shorts]
+        infos.append({
+            "name": os.path.basename(sd), "long": gts[0], "gt_frames": gts,
+            "short": shorts, "ratio": ratios, **meta_g,
+        })
+    save_info(infos, out_path)
+    log(f"LRID[{dstname}] index: {len(infos)} scenes -> {out_path}")
+    return infos

@@ -1,0 +1,288 @@
+"""LRID / IMX686 phone datasets (reference: data_process/phone_datasets.py).
+
+Same device-resident re-architecture as the SonyA7S2 datasets: the host
+loads/corrects/packs/crops frames; noise synthesis (P-G, SNA, proxy) runs in
+the jitted train step.
+
+Info format (reference get_IMX686_info_{long,short}):
+  * ``{dstname}_{GT_type}.info`` — list of {'data', 'name', 'wb', 'ccm', ...}
+  * ``{dstname}_short.info``     — {dgain: [ {'data': [paths], 'metadata':
+      [{'ExposureTime': ...}, ...]} per scene ]}
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from pnnp_tpu.data.datasets import BaseRawDataset, _clip_pair
+from pnnp_tpu.data.io import dataload, load_info
+from pnnp_tpu.physics.darkshading import PhoneDarkShading
+from pnnp_tpu.utils.logging import log
+
+# Scene split tables (reference: phone_datasets.py:236-274).
+EVAL_IDS = {
+    "indoor_x5": [4, 14, 25, 41, 44, 51, 52, 53, 58],
+    "indoor_x3": [],
+    "outdoor_x5": [1, 2, 5],
+    "outdoor_x3": [9, 21, 22, 32, 44, 51],
+}
+FAST_EVAL_IDS = {
+    "indoor_x5": [44, 51, 53],
+    "indoor_x3": [0],
+    "outdoor_x5": [1, 2, 5],
+    "outdoor_x3": [44, 51],
+}
+# Hot-pixel scene lists (reference: phone_datasets.py:369-381).
+HOT_IDS = {
+    "indoor_x5": [6, 15, 33, 35, 39, 46, 37, 59],
+    "indoor_x3": [1, 2, 4, 5, 6, 10, 12, 13, 14, 15, 16, 17, 18, 19],
+    "outdoor_x3": [0, 1, 2, 3, 4, 5, 7, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+                   22, 26, 30, 51, 52, 54, 55, 56],
+    "outdoor_x5": [0, 1, 2, 3, 4, 5, 6],
+}
+IMX686_OLD_BIAS = np.array([-0.08113494, -0.04906388, -1.2048522, -0.9408157], np.float32)
+
+
+class PhoneBaseDataset(BaseRawDataset):
+    DEFAULTS = dict(
+        BaseRawDataset.DEFAULTS,
+        crop_per_image=12, patch_size=512, ori=True, dstname="indoor_x5",
+        camera_type="IMX686", GT_type="GT_align_ours", command="alldg",
+        H=3472, W=4624, wp=1023, bl=64, ratio=16, ratio_list=(1, 2, 4, 8, 16),
+        noise_code="p",
+    )
+
+    def __init__(self, args=None, seed: int = 1997):
+        super().__init__(args, seed)
+        self.iso = 6400
+        self._load_phone_infos()
+        self._data_split()
+        self.change_ratio_list(list(self.args["ratio_list"]))
+        self._apply_small()
+        self.length = len(self.id_remap)
+        if "alldg" in self.args["command"] and self.args["mode"] == "train":
+            self.lens_extend(True)
+        self._init_phone_darkshading()
+
+    # -- infos -------------------------------------------------------------
+    def _load_phone_infos(self):
+        d = self.args["infos_dir"]
+        gt = load_info(os.path.join(d, f'{self.args["dstname"]}_{self.args["GT_type"]}.info'))
+        short = load_info(os.path.join(d, f'{self.args["dstname"]}_short.info'))
+        self.infos = []
+        for i, e in enumerate(gt):
+            entry = dict(e)
+            entry["hr"] = entry.pop("data")
+            entry["lr"] = {dg: short[dg][i] for dg in short}
+            self.infos.append(entry)
+        log(f'Loaded {self.args["dstname"]} ({len(self.infos)} scenes)')
+
+    # -- splits / ratio ladder ----------------------------------------------
+    def _data_split(self, eval_ids: Optional[list] = None):
+        if eval_ids is None:
+            eval_ids = EVAL_IDS.get(self.args["dstname"], [])
+        all_ids = list(range(len(self.infos)))
+        if self.args["mode"] == "train":
+            self.id_remap = [i for i in all_ids if i not in eval_ids]
+        else:
+            self.id_remap = list(eval_ids)
+
+    def _apply_small(self):
+        cmd = self.args["command"]
+        if "small" in cmd and self.args["mode"] == "train":
+            div = 0.5 if "small2" in cmd else 0.75 if "small3" in cmd else 0.25
+            self.id_remap = self.id_remap[: int(len(self.id_remap) * div)]
+
+    def fast_eval(self, on=True):
+        self._data_split(FAST_EVAL_IDS.get(self.args["dstname"]) if on else None)
+        self.change_ratio_list(self.ratio_list)
+        self.length = len(self.id_remap)
+
+    def lens_extend(self, on=True):
+        self.length = len(self.id_remap) * (len(self.ratio_list) if on else 1)
+
+    def change_ratio_list(self, ratio_list):
+        self.ratio_list = list(ratio_list)
+        self.dgain = self.ratio_list[-1]
+
+    def change_eval_ratio(self, ratio):
+        assert int(ratio) in self.ratio_list
+        self.dgain = int(ratio)
+        log(f"Eval ratio {ratio}")
+
+    def recheck_length(self):
+        self.length = len(self.id_remap)
+
+    # -- corrections ---------------------------------------------------------
+    def _init_phone_darkshading(self):
+        self.phone_ds = None
+        cmd = self.args["command"]
+        if ("darkshading" in cmd or "blc" in cmd) and self.args.get("ds_dir"):
+            try:
+                self.phone_ds = PhoneDarkShading(self.args["ds_dir"], naive="++" not in cmd)
+            except Exception as e:
+                log(f"dark shading unavailable: {e}")
+
+    def hot_check(self, scene_idx: int) -> bool:
+        return scene_idx in HOT_IDS.get(self.args["dstname"], [])
+
+    @staticmethod
+    def blc_rggb(raw: np.ndarray, bias: np.ndarray) -> np.ndarray:
+        return PhoneDarkShading.blc_rggb(raw, bias)
+
+    def correct_phone_lr(self, lr_raw, exp_ms, hot, dgain, hr_raw=None):
+        cmd = self.args["command"]
+        if self.phone_ds is None:
+            return lr_raw, hr_raw
+        if "darkshading" in cmd:
+            lr_raw = lr_raw - self.phone_ds(self.iso, exp_ms, hot=hot)
+            if "darkshading2" in cmd and self.args["mode"] == "train":
+                lr_raw = lr_raw + self.rng.standard_normal() * 0.1
+        if "blc" in cmd:
+            bias = self.phone_ds.get_bias(self.iso, exp_ms, hot)
+            lr_raw = self.blc_rggb(lr_raw, -bias)
+            if "blc2" in cmd and self.args["mode"] == "train" and hr_raw is not None:
+                bias_hr = self.phone_ds.get_bias(100, exp_ms * 64 * dgain, hot)
+                hr_raw = self.blc_rggb(hr_raw, -bias_hr)
+            if "nblc" in cmd:
+                lr_raw = self.blc_rggb(lr_raw, bias + IMX686_OLD_BIAS)
+        return lr_raw, hr_raw
+
+    # -- dgain strategy ------------------------------------------------------
+    def pick_dgain(self, idx):
+        if self.args["mode"] == "train":
+            if "alldg" in self.args["command"]:
+                return self.ratio_list[idx // len(self.id_remap)]
+            if "rdg" in self.args["command"]:
+                return self.ratio_list[self.rng.integers(len(self.ratio_list))]
+        return self.dgain
+
+
+class IMX686Dataset(PhoneBaseDataset):
+    """Paired GT/short LRID loader (reference: phone_datasets.py:441-533)."""
+
+    def __getitem__(self, idx):
+        dgain = self.pick_dgain(idx)
+        idr = self.id_remap[idx % len(self.id_remap)]
+        info = self.infos[idr]
+        train = self.args["mode"] == "train"
+
+        hr_raw = np.asarray(dataload(info["hr"])).reshape(self.H, self.W)
+        lr_entry = info["lr"][dgain]
+        n_lr = len(lr_entry["data"])
+        lr_id = int(self.rng.integers(n_lr)) if train else 0
+        lr_raw = np.asarray(dataload(lr_entry["data"][lr_id])).reshape(self.H, self.W)
+        exp_ms = float(lr_entry["metadata"][lr_id]["ExposureTime"]) * 1000.0
+
+        hot = self.hot_check(self._scene_idx(info))
+        lr_raw, hr_new = self.correct_phone_lr(lr_raw, exp_ms, hot, dgain, hr_raw)
+        if hr_new is not None:
+            hr_raw = hr_new
+
+        lr = self.pack(lr_raw, clip=False)
+        hr = self.pack(hr_raw, clip=True)
+        if train:
+            planner = self.make_planner()
+            hr = planner.crop(hr)
+            lr = planner.crop(lr)
+        else:
+            hr, lr = hr[None], lr[None]
+        if not self.args["ori"]:
+            lr = lr * dgain
+        lr, hr = _clip_pair(lr, hr, self.args["clip"])
+        return {
+            "hr": np.ascontiguousarray(hr), "lr": np.ascontiguousarray(lr),
+            "ratio": np.full(len(hr), dgain, np.float32),
+            "iso": np.full(len(hr), self.iso, np.float32),
+            "wb": np.asarray(info["wb"], np.float32),
+            "ccm": np.asarray(info["ccm"], np.float32),
+            "name": f"{info['name']}_x{dgain:02d}",
+        }
+
+    @staticmethod
+    def _scene_idx(info):
+        try:
+            return int(str(info["name"])[-3:])
+        except ValueError:
+            return -1
+
+
+# Real_Dataset in the reference is the generic paired loader (phone_datasets.py:383)
+LRIDRealDataset = IMX686Dataset
+
+
+class IMX686RawDataset(PhoneBaseDataset):
+    """GT-only loader for on-device P-G synthesis (reference: phone_datasets.py:744)."""
+
+    def __getitem__(self, idx):
+        idr = self.id_remap[idx % len(self.id_remap)]
+        info = self.infos[idr]
+        hr_raw = np.asarray(dataload(info["hr"])).reshape(self.H, self.W)
+        hr = self.pack(hr_raw, clip=True)
+        if self.args["mode"] == "train":
+            planner = self.make_planner()
+            hr = planner.crop(hr)
+        else:
+            hr = hr[None]
+        return {
+            "hr": np.ascontiguousarray(hr), "lr": np.ascontiguousarray(hr.copy()),
+            "ratio": np.ones(len(hr), np.float32),
+            "iso": np.full(len(hr), self.iso, np.float32),
+            "wb": np.asarray(info["wb"], np.float32),
+            "ccm": np.asarray(info["ccm"], np.float32),
+            "name": info["name"],
+        }
+
+
+IMX686NFSynDataset = IMX686RawDataset
+IMX686ProxyDataset = IMX686RawDataset
+
+
+class IMX686MixDataset(IMX686Dataset):
+    """PMN-style SNA pairing for LRID; host side identical to the paired
+    loader (+bias frames when available); SNA runs on-device
+    (reference: phone_datasets.py:534-665)."""
+
+    def __getitem__(self, idx):
+        data = super().__getitem__(idx)
+        data["black_lr"] = False
+        return data
+
+
+class IMX686SFRNRawDataset(PhoneBaseDataset):
+    """GT + real bias-frame crops for SFRN-style training
+    (reference: phone_datasets.py:928+)."""
+
+    def __init__(self, args=None, seed: int = 1997):
+        super().__init__(args, seed)
+        bias_dir = self.args.get("bias_dir")
+        self.blacks = []
+        if bias_dir and os.path.isdir(os.path.join(bias_dir, "6400")):
+            d = os.path.join(bias_dir, "6400")
+            self.blacks = [os.path.join(d, f) for f in sorted(os.listdir(d))]
+
+    def __getitem__(self, idx):
+        idr = self.id_remap[idx % len(self.id_remap)]
+        info = self.infos[idr]
+        hr_raw = np.asarray(dataload(info["hr"])).reshape(self.H, self.W)
+        hr = self.pack(hr_raw, clip=True)
+        if self.blacks:
+            b_raw = np.asarray(dataload(self.blacks[int(self.rng.integers(len(self.blacks)))]))
+            black = self.pack(b_raw.reshape(self.H, self.W), clip=False)
+        else:
+            black = np.zeros_like(hr)
+        planner = self.make_planner()
+        hr_c = planner.crop(hr)
+        planner.replan()
+        black_c = planner.crop(black)
+        return {
+            "hr": np.ascontiguousarray(hr_c), "lr": np.ascontiguousarray(black_c),
+            "ratio": np.ones(len(hr_c), np.float32),
+            "iso": np.full(len(hr_c), self.iso, np.float32),
+            "wb": np.asarray(info["wb"], np.float32),
+            "ccm": np.asarray(info["ccm"], np.float32),
+            "name": info["name"],
+        }

@@ -1,0 +1,7 @@
+from pnnp_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_sharded_train_step,
+    spatial_eval,
+)

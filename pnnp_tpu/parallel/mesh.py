@@ -1,0 +1,111 @@
+"""Device mesh + sharding: the TPU-native parallelism layer.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(reference: base_trainer.py:115-118). Here parallelism is SPMD over a
+``jax.sharding.Mesh`` with two axes:
+
+  * ``data``    — batch sharding for training (gradients psum'ed by XLA)
+  * ``spatial`` — width sharding for full-frame eval (halo exchange via
+    ``ppermute`` inside ``shard_map``), the honest ICI story for a conv UNet
+    on 2848x4256 / 3472x4624 frames (SURVEY.md §5 long-context analog).
+
+Everything works unchanged on a single device (mesh of size 1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devices.size // n_spatial
+    devices = devices[: n_data * n_spatial].reshape(n_data, n_spatial)
+    return Mesh(devices, ("data", "spatial"))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch with leading dim sharded over the data axis."""
+    def put(x):
+        spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )
+
+
+def make_sharded_train_step(mesh: Mesh, train_step):
+    """Constrain the batch to the data axis; XLA inserts the gradient psum.
+
+    ``train_step`` is the jitted step from :func:`pnnp_tpu.train.steps.make_train_step`;
+    with batch inputs sharded over ``data`` and params replicated, jit's SPMD
+    partitioner emits the all-reduce over ICI automatically.
+    """
+
+    def step(state, batch, key, epoch):
+        batch = jax.lax.with_sharding_constraint(
+            batch, NamedSharding(mesh, P("data"))
+        )
+        return train_step(state, batch, key, epoch)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def spatial_eval(mesh: Mesh, apply_fn, image: jnp.ndarray, halo: int = 32):
+    """Full-frame eval with the W axis sharded over the mesh's spatial axis.
+
+    Each shard reflect-pads its slice with ``halo`` columns exchanged from its
+    ring neighbours via ``ppermute`` (ICI), runs the model, and drops the
+    halo — the SPMD generalization of the reference's overlap-tile predict
+    (reference: trainer_SID.py:345-360, halo d=32).
+
+    ``image``: [n, H, W, C] with W divisible by the spatial axis size.
+    ``apply_fn``: [n, H, w_local, C] -> same shape.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    axis = "spatial"
+    nsp = mesh.shape[axis]
+    if nsp == 1:
+        return apply_fn(image)
+
+    def worker(img):
+        # img: [n, H, W/nsp, C] local shard
+        idx = jax.lax.axis_index(axis)
+        left_edge = img[:, :, :halo, :]
+        right_edge = img[:, :, -halo:, :]
+        # Receive neighbour edges (ring ppermute; ends reflect-pad locally).
+        from_left = jax.lax.ppermute(
+            right_edge, axis, [(i, (i + 1) % nsp) for i in range(nsp)]
+        )
+        from_right = jax.lax.ppermute(
+            left_edge, axis, [(i, (i - 1) % nsp) for i in range(nsp)]
+        )
+        # First/last shard: reflect own border instead of wrapped neighbour.
+        reflect_l = img[:, :, :halo, :][:, :, ::-1, :]
+        reflect_r = img[:, :, -halo:, :][:, :, ::-1, :]
+        from_left = jnp.where(idx == 0, reflect_l, from_left)
+        from_right = jnp.where(idx == nsp - 1, reflect_r, from_right)
+        padded = jnp.concatenate([from_left, img, from_right], axis=2)
+        out = apply_fn(padded)
+        return out[:, :, halo:-halo, :]
+
+    fn = shard_map(
+        worker,
+        mesh=mesh,
+        in_specs=P(None, None, "spatial", None),
+        out_specs=P(None, None, "spatial", None),
+    )
+    return fn(image)

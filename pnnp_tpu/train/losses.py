@@ -1,0 +1,66 @@
+"""Training losses (reference: losses/base_loss.py, losses/__init__.py).
+
+Plain functions over NHWC arrays — they fuse into the jitted train step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(pred, target):
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def charbonnier_loss(pred, target, eps: float = 1e-6):
+    """L1-Charbonnier (reference: base_loss.py:63-74)."""
+    diff = pred - target
+    return jnp.mean(jnp.sqrt(diff * diff + eps))
+
+
+def unet_loss(pred, target, charbonnier: bool = False):
+    """The denoiser loss: plain L1 (reference: base_loss.py:75-107)."""
+    return charbonnier_loss(pred, target) if charbonnier else l1_loss(pred, target)
+
+
+def _avg_pool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+
+
+def pyramid_sample(x, max_scale: int = 8):
+    """Average-pyramid levels [x/2, x/4, ..., x/max_scale] (reference: base_loss.py:38-47)."""
+    outs = []
+    cur = x
+    s = 2
+    while s <= max_scale:
+        cur = _avg_pool2(cur)
+        outs.append(cur)
+        s *= 2
+    return outs
+
+
+def pyramid_loss(lows, highs, rate: float = 0.5, charbonnier: bool = False):
+    """Scale-weighted multi-resolution loss (reference: base_loss.py:49-61)."""
+    loss = 0.0
+    weight = 1.0
+    total = 0.0
+    for lo, hi in zip(lows, highs):
+        loss = loss + weight * unet_loss(lo, hi, charbonnier)
+        total = total + weight
+        weight = weight * rate
+    return loss / total
+
+
+def unet_dpsv_loss(outputs, target, charbonnier: bool = False):
+    """Deep-supervision loss over [out, out2, out4, out8] (reference: base_loss.py:109-133)."""
+    highs = [target] + pyramid_sample(target, max_scale=2 ** (len(outputs) - 1))
+    return pyramid_loss(list(outputs), highs, rate=0.5, charbonnier=charbonnier)
+
+
+def psnr_loss(pred, target):
+    """Per-image mean PSNR on [0,1] tensors (reference: losses/__init__.py:4-15)."""
+    mse = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
+    return jnp.mean(10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)))

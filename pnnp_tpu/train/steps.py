@@ -1,0 +1,180 @@
+"""Jitted train/eval steps with on-device noise synthesis.
+
+The reference synthesizes training noise in per-crop Python loops inside
+``preprocess`` (reference: trainer_SID.py:421-505); here synthesis is a
+batched "synth" stage fused into the compiled train step, so the whole
+loader->synth->fwd->bwd->Adam pipeline is one XLA program and the host only
+feeds clean GT crops.
+
+Synth stages (pick per dataset family):
+  * ``make_raw_synth``   — physics P-G/ELD sampling (Raw_Dataset branch,
+    reference: trainer_SID.py:449-462)
+  * ``make_proxy_synth`` — learned proxy / NoiseFlow sampling (NF_Syn and
+    Proxy branches, reference: trainer_SID.py:463-472)
+  * ``make_mix_synth``   — PMN-style SNA on real pairs (Mix_Dataset branch,
+    reference: trainer_SID.py:430-447)
+
+Each returns ``synth(key, batch) -> (lr, hr, ratio)`` with NHWC images.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pnnp_tpu.physics import generate_noisy, sample_params_max, sna, get_aug_param
+from pnnp_tpu.physics.calibration import HALF_CLIP, LEGAL_ISO
+from pnnp_tpu.train.losses import unet_loss, unet_dpsv_loss
+from pnnp_tpu.train.state import TrainState, apply_scaled_updates
+
+
+def clip_lr_hr(lr, hr, clip_mode):
+    """Reference clip semantics (trainer_SID.py:481-485): clip=2 (HALF_CLIP)
+    keeps the sensor's negative read-noise floor on lr; clip=1 clamps to 0."""
+    if clip_mode:
+        lb = -jnp.inf if clip_mode == HALF_CLIP else 0.0
+        lr = jnp.clip(lr, lb, 1.0)
+        hr = jnp.clip(hr, 0.0, 1.0)
+    return lr, hr
+
+
+def make_raw_synth(camera_type: str, noise_code: str, ori: bool, clip: bool,
+                   iso=None, ratio=None):
+    """Physics noise synthesis on clean GT crops, fully batched."""
+
+    def synth(key, batch):
+        hr = batch["hr"]
+        n = hr.shape[0]
+        k1, k2 = jax.random.split(key)
+        params = sample_params_max(k1, camera_type, n=n, ratio=ratio, iso=iso)
+        lr = generate_noisy(k2, hr, params, noise_code, ori=ori, clip=bool(clip))
+        return lr, hr, params["ratio"]
+
+    return synth
+
+
+def make_proxy_synth(sample_fn: Callable, ori: bool = False,
+                     ratio_range=(100.0, 300.0)):
+    """Noise from a learned proxy: ``sample_fn(rng, clean, iso) -> noise``.
+
+    ratio ~ U(ratio_range); iso uniformly from the legal-ISO ladder
+    (reference: trainer_SID.py:463-472).
+    """
+
+    def synth(key, batch):
+        hr = batch["hr"]
+        n = hr.shape[0]
+        k1, k2, k3 = jax.random.split(key, 3)
+        ratio = jax.random.uniform(k1, (n,), minval=ratio_range[0], maxval=ratio_range[1])
+        iso_idx = jax.random.randint(k2, (), 0, len(LEGAL_ISO))
+        iso = jnp.asarray(LEGAL_ISO)[iso_idx]
+        rb = ratio.reshape(-1, 1, 1, 1)
+        noise = sample_fn(k3, hr / rb, iso)
+        lr = hr + (noise * rb if not ori else noise)
+        return lr, hr, ratio
+
+    return synth
+
+
+def make_mix_synth(camera_type: str, command: str = "augv5", ori: bool = False):
+    """PMN-style SNA over *real* noisy/clean pairs.
+
+    batch needs: hr, lr, ratio [n], iso [n], wb [n, 4], black_lr (python bool
+    via dataset). (reference: trainer_SID.py:430-447)
+    """
+
+    def synth(key, batch):
+        hr, lr = batch["hr"], batch["lr"]
+        n = hr.shape[0]
+        ratio = batch["ratio"].reshape(-1)
+        k1, k2 = jax.random.split(key)
+        aug_r, aug_g, aug_b = get_aug_param(k1, batch["wb"], n, command, camera_type)
+        aug_wb = jnp.stack([aug_r, aug_g, aug_b, aug_g], axis=1)
+        black_lr = bool(batch.get("black_lr", False))
+        if black_lr:
+            aug_wb = aug_wb + 1.0
+        lr = lr if ori else lr * ratio.reshape(-1, 1, 1, 1)
+        dn, dy = sna(k2, hr, aug_wb, camera_type=camera_type, ratio=ratio,
+                     iso=batch.get("iso"), black_lr=black_lr, ori=ori)
+        return lr + dn, hr + dy, ratio
+
+    return synth
+
+
+def identity_synth(key, batch):
+    """Real paired data (eval / paired training): no synthesis."""
+    return batch["lr"], batch["hr"], batch.get("ratio", jnp.ones(batch["hr"].shape[0]))
+
+
+def make_train_step(
+    model,
+    lr_schedule: Callable,
+    synth: Callable = identity_synth,
+    clip_mode=0,
+    deep_supervision: bool = False,
+    donate: bool = True,
+):
+    """Build the fused jitted train step.
+
+    step(state, batch, key, epoch) -> (state, metrics)
+    """
+
+    def loss_fn(params, batch_stats, lr_img, hr_img):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        if deep_supervision:
+            outs = model.apply(variables, lr_img, train=True)
+            loss = unet_dpsv_loss(outs, hr_img)
+            pred = outs[0]
+        else:
+            pred = model.apply(variables, lr_img)
+            loss = unet_loss(pred, hr_img)
+        return loss, pred
+
+    def step(state: TrainState, batch, key, epoch):
+        lr_img, hr_img, ratio = synth(key, batch)
+        lr_img, hr_img = clip_lr_hr(lr_img, hr_img, clip_mode)
+        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, lr_img, hr_img
+        )
+        lr = lr_schedule(epoch)
+        state = apply_scaled_updates(state, grads, lr)
+        mse = jnp.mean((jnp.clip(pred, 0, 1) - jnp.clip(hr_img, 0, 1)) ** 2)
+        metrics = {
+            "loss": loss,
+            "psnr": 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)),
+            "lr": lr,
+        }
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def pad_to_multiple(x: jnp.ndarray, mult: int = 16):
+    """Reflect-pad H/W up to a multiple (reference pads to %16 before the UNet,
+    trainer_SID.py:221-228). Returns (padded, (H, W)) for later cropping."""
+    H, W = x.shape[-3], x.shape[-2]
+    ph = (-H) % mult
+    pw = (-W) % mult
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    return x, (H, W)
+
+
+def make_eval_step(model):
+    """eval_step(state, lr_img) -> denoised, with %16 reflect padding."""
+
+    @jax.jit
+    def step(state: TrainState, lr_img):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        x, (H, W) = pad_to_multiple(lr_img, 16)
+        pred = model.apply(variables, x)
+        return pred[:, :H, :W, :]
+
+    return step

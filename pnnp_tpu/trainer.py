@@ -1,0 +1,430 @@
+"""Trainer: runfile-driven training/evaluation orchestration.
+
+The TPU-native counterpart of the reference trainer layer (reference:
+base_trainer.py + trainer_SID.py): same CLI surface
+(``python -m pnnp_tpu.trainer -f runfile --mode {train,eval,test,evaltest,
+trainonly}``), same YAML runfiles, same log/metric/checkpoint contract — but
+the hot path is one jitted XLA program (loader -> on-device noise synth ->
+fwd -> bwd -> Adam) over a data-parallel mesh, and eval metrics (PSNR/SSIM,
+brightness correction, device ISP) never leave the chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnnp_tpu.config import load_runfile
+from pnnp_tpu.data import build_dataset, DataLoader
+from pnnp_tpu.models import build_model, PixelWiseISOProxy, NoiseFlow
+from pnnp_tpu.ops import illuminance_correct, psnr as psnr_fn, ssim as ssim_fn, fast_isp
+from pnnp_tpu.parallel import make_mesh, shard_batch, replicate
+from pnnp_tpu.physics.calibration import HALF_CLIP
+from pnnp_tpu.train import (
+    CheckpointManager,
+    build_lr_schedule,
+    create_train_state,
+    identity_synth,
+    load_any,
+    make_eval_step,
+    make_mix_synth,
+    make_proxy_synth,
+    make_raw_synth,
+    make_train_step,
+)
+from pnnp_tpu.utils.logging import AverageMeter, StepTimer, log
+
+
+class Parser:
+    """CLI surface of the reference BaseParser (base_trainer.py:6-17)."""
+
+    @staticmethod
+    def parse(argv=None):
+        p = argparse.ArgumentParser()
+        p.add_argument("--runfile", "-f", default="runfiles/SonyA7S2/PNNP.yml")
+        p.add_argument("--mode", "-m", default=None)
+        p.add_argument("--debug", action="store_true")
+        p.add_argument("--nofig", action="store_true")
+        p.add_argument("--nohost", action="store_true")
+        p.add_argument("--gpu", default="0")  # accepted for CLI parity; unused on TPU
+        return p.parse_args(argv)
+
+
+class Trainer:
+    def __init__(self, runfile: str, mode: Optional[str] = None, nofig: bool = False,
+                 debug: bool = False, root_prefix: Optional[str] = None, seed: int = 1997):
+        self.args = load_runfile(runfile, mode=mode, root_prefix=root_prefix)
+        self.mode = self.args["mode"]
+        self.dst = self.args["dst"]
+        self.hyper = self.args["hyper"]
+        self.arch = self.args["arch"]
+        self.model_name = self.args["model_name"]
+        self.save_plot = not nofig
+        self.debug = debug
+        self.seed = seed
+        self.rng = jax.random.key(seed)
+
+        self.logfile = f"./logs/log_{self.model_name}.log"
+        self.sample_dir = os.path.join(self.args.get("result_dir", "images"),
+                                       f"samples-{self.model_name}")
+        os.makedirs(self.sample_dir, exist_ok=True)
+        os.makedirs("./logs", exist_ok=True)
+        os.makedirs("./metrics", exist_ok=True)
+
+        # --- model ---------------------------------------------------------
+        self.model = build_model(self.arch)
+        patch = int(self.dst.get("patch_size", 512))
+        example = jnp.zeros((1, patch, patch, self.arch.get("in_nc", 4)))
+        self.state = create_train_state(jax.random.key(seed), self.model, example)
+        self.lr_schedule = build_lr_schedule(self.hyper)
+
+        # --- proxy (PNNP / NoiseFlow) -------------------------------------
+        self.proxy = None
+        self.proxy_vars = None
+        arch_proxy = self.args.get("arch_proxy")
+        if arch_proxy and self.mode in ("train", "trainonly"):
+            self._init_proxy(arch_proxy)
+
+        # --- checkpoints ---------------------------------------------------
+        self.ckpt = CheckpointManager(
+            self.args.get("fast_ckpt", "checkpoints"),
+            self.args.get("checkpoint", "saved_model"),
+            self.model_name,
+            save_freq=self.hyper.get("save_freq", 10),
+        )
+        self.ckpt.best_psnr = self.hyper.get("best_psnr", 0)
+        self.last_epoch = int(self.hyper.get("last_epoch", 0))
+        if self.last_epoch > 0 or self.mode != "train":
+            self._try_restore()
+
+        # --- datasets ------------------------------------------------------
+        self.dst_train = self.args.get("dst_train")
+        self.dst_eval = self.args.get("dst_eval")
+        self.dst_test = self.args.get("dst_test")
+        self.dataset_train = None
+        self.dataset_eval = None
+        if self.mode in ("train", "trainonly") and self.dst_train:
+            self.dataset_train = build_dataset(self.dst_train, seed=seed)
+        if self.dst_eval and self.mode != "trainonly":
+            self.dataset_eval = build_dataset(self.dst_eval, seed=seed)
+
+        # --- mesh + steps --------------------------------------------------
+        self.mesh = make_mesh()
+        self.train_step = make_train_step(
+            self.model, self.lr_schedule, self._make_synth(),
+            clip_mode=self.dst.get("clip", 0),
+            deep_supervision=bool(self.arch.get("use_dpsv", False)),
+        )
+        self.eval_step = make_eval_step(self.model)
+
+        # --- meters --------------------------------------------------------
+        self.train_psnr = AverageMeter("PSNR", ":2f")
+        self.eval_psnr = AverageMeter("PSNR", ":2f")
+        self.eval_ssim = AverageMeter("SSIM", ":4f")
+        self.eval_psnr_lr = AverageMeter("PSNR", ":2f")
+        self.eval_ssim_lr = AverageMeter("SSIM", ":4f")
+        self.eval_psnr_dn = AverageMeter("PSNR", ":2f")
+        self.eval_ssim_dn = AverageMeter("SSIM", ":4f")
+        self.timer = StepTimer()
+        self._print_model_log()
+
+    # ------------------------------------------------------------------
+    def _print_model_log(self):
+        log(f"Model Name:\t{self.model_name}", logfile=self.logfile, notime=True)
+        log(f"Architecture:\t{self.arch['name']}", logfile=self.logfile, notime=True)
+        if self.args.get("dst_train"):
+            log(f"TrainDataset:\t{self.args['dst_train']['dataset']}", logfile=self.logfile, notime=True)
+        if self.args.get("dst_eval"):
+            log(f"EvalDataset:\t{self.args['dst_eval']['dataset']}", logfile=self.logfile, notime=True)
+        log(f"CameraType:\t{self.dst.get('camera_type')}", logfile=self.logfile, notime=True)
+        log(f"num_channels:\t{self.arch.get('nf')}", logfile=self.logfile, notime=True)
+        log(f"BatchSize:\t{self.hyper.get('batch_size')}", logfile=self.logfile, notime=True)
+        log(f"PatchSize:\t{self.dst.get('patch_size')}", logfile=self.logfile, notime=True)
+        log(f"LearningRate:\t{self.hyper.get('learning_rate')}", logfile=self.logfile, notime=True)
+        log(f"Epoch:\t\t{self.hyper.get('stop_epoch')}", logfile=self.logfile, notime=True)
+        log(f"Command:\t{self.dst.get('command')}", logfile=self.logfile, notime=True)
+        log(f"Devices:\t{jax.device_count()} ({jax.devices()[0].platform})",
+            logfile=self.logfile, notime=True)
+
+    def _init_proxy(self, arch_proxy: dict):
+        name = arch_proxy.get("name", "")
+        if "pw_iso" in name:
+            self.proxy = PixelWiseISOProxy(
+                iso2k=tuple(arch_proxy.get("ISO2K", (0.0009546, -0.00193))),
+                nf=int(arch_proxy.get("nf", 16)),
+                nb=int(arch_proxy.get("nb", 2)),
+                d=int(arch_proxy.get("d", 1024)),
+                mode=arch_proxy.get("mode", "2stage+iso"),
+                wp=float(self.dst.get("wp", 16383)),
+                bl=float(self.dst.get("bl", 512)),
+            )
+            clean = jnp.zeros((1, 8, 8, 4))
+            self.proxy_vars = self.proxy.init(
+                {"params": jax.random.key(0), "sample": jax.random.key(1)},
+                clean, jnp.ones((1,)) * 1600.0,
+            )
+        elif "NoiseFlow" in name or "noise_flow" in name:
+            self.proxy = NoiseFlow(
+                x_shape=(int(self.dst.get("patch_size", 256)),) * 2 + (4,),
+                arch=arch_proxy.get("arch", NoiseFlow.arch),
+            )
+            patch = int(self.dst.get("patch_size", 256))
+            z = jnp.zeros((1, patch, patch, 4))
+            self.proxy_vars = self.proxy.init(jax.random.key(0), z, clean=z, iso=1600.0)
+        proxy_ckpt = self.args.get("proxy_checkpoint")
+        if proxy_ckpt and os.path.exists(proxy_ckpt):
+            loaded = load_any(proxy_ckpt)
+            self.proxy_vars = {"params": loaded["params"], **(
+                {"batch_stats": loaded["batch_stats"]} if loaded.get("batch_stats") else {}
+            )}
+            log(f"Loaded proxy checkpoint {proxy_ckpt}")
+
+    def _make_synth(self):
+        """Pick the on-device synthesis stage from the train dataset name
+        (the jit-fused analog of the reference preprocess dispatch,
+        trainer_SID.py:428-472)."""
+        if not self.args.get("dst_train") or self.mode not in ("train", "trainonly"):
+            return identity_synth
+        name = self.args["dst_train"]["dataset"]
+        cam = self.dst.get("camera_type", "SonyA7S2")
+        code = self.dst.get("noise_code", "p")
+        ori = bool(self.dst.get("ori", False))
+        clip = self.dst.get("clip", 0)
+        if name in ("Raw_Dataset", "IMX686_Raw_Dataset"):
+            return make_raw_synth(cam, code, ori, clip)
+        if name in ("NF_Syn_Dataset", "Proxy_Dataset", "IMX686_NF_Syn_Dataset",
+                    "IMX686_Proxy_Dataset") and self.proxy is not None:
+            proxy, proxy_vars = self.proxy, self.proxy_vars
+
+            def sample_fn(rng, clean, iso):
+                if isinstance(proxy, NoiseFlow):
+                    return proxy.apply(proxy_vars, rng, clean=clean, iso=iso,
+                                       method=proxy.sample)
+                return proxy.apply(proxy_vars, clean, iso, rngs={"sample": rng},
+                                   mode="sample")
+
+            rng_range = (100.0, 300.0) if cam == "SonyA7S2" else (1.0, 16.0)
+            return make_proxy_synth(sample_fn, ori=ori, ratio_range=rng_range)
+        if name in ("Mix_Dataset", "IMX686_Mix_Dataset"):
+            return make_mix_synth(cam, self.dst.get("command", "augv5"), ori=ori)
+        if name in ("SFRN_Dataset", "IMX686_SFRN_Raw_Dataset"):
+            # black-frame mode: shot noise only, on top of the real read-noise layer
+            raw = make_raw_synth(cam, code + "b", ori, clip)
+
+            def synth(key, batch):
+                lr_shot, hr, ratio = raw(key, batch)
+                return lr_shot + batch["lr"] - hr, hr, ratio
+
+            return synth
+        return identity_synth
+
+    def _try_restore(self):
+        restored = self.ckpt.restore("best" if self.mode != "train" else "last")
+        if restored is not None:
+            self.state = self.state.replace(
+                params=jax.tree.map(jnp.asarray, restored["params"]),
+                batch_stats=restored.get("batch_stats"),
+            )
+            log(f"Restored checkpoint (epoch {restored['meta'].get('epoch')})")
+        else:
+            log("No checkpoint found; using fresh init")
+
+    def load_torch_checkpoint(self, path: str):
+        loaded = load_any(path)
+        self.state = self.state.replace(params=jax.tree.map(jnp.asarray, loaded["params"]))
+        log(f"Loaded torch checkpoint {path}")
+
+    # ------------------------------------------------------------------
+    def train(self):
+        assert self.dataset_train is not None
+        bs = int(self.hyper.get("batch_size", 1))
+        loader = DataLoader(
+            self.dataset_train, batch_size=bs, shuffle=True,
+            num_workers=0 if self.debug else int(self.args.get("num_workers", 2)),
+            seed=self.seed,
+        )
+        stop_epoch = int(self.hyper.get("stop_epoch", 100))
+        plot_freq = int(self.hyper.get("plot_freq", 50))
+        rng = jax.random.key(self.seed)
+
+        for epoch in range(self.last_epoch + 1, stop_epoch + 1):
+            self.train_psnr.reset()
+            self.timer.reset()
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            for batch in loader:
+                self.timer.tick("loader")
+                rng, step_key = jax.random.split(rng)
+                dev_batch = {
+                    k: jnp.asarray(v) for k, v in batch.items()
+                    if isinstance(v, np.ndarray) and v.dtype != object
+                }
+                self.state, metrics = self.train_step(self.state, dev_batch, step_key, epoch)
+                self.timer.tick("net")
+                self.train_psnr.update(float(metrics["psnr"]))
+            self.train_psnr.record()
+            shares = self.timer.shares()
+            log(
+                f"Epoch {epoch}: loss ok, train_psnr={self.train_psnr.avg:.2f}, "
+                f"lr={float(self.lr_schedule(epoch)):.2e}, "
+                f"time={time.time() - t0:.1f}s "
+                f"[loader {shares.get('loader', 0):.0%} net {shares.get('net', 0):.0%}]"
+            )
+
+            eval_psnr = None
+            if self.dataset_eval is not None and epoch % plot_freq == 0:
+                if hasattr(self.dataset_eval, "fast_eval"):
+                    self.dataset_eval.fast_eval(True)
+                self.eval(epoch)
+                eval_psnr = self.eval_psnr.avg
+                if hasattr(self.dataset_eval, "fast_eval"):
+                    self.dataset_eval.fast_eval(False)
+            is_best = self.ckpt.save(epoch, self.state.params, self.state.batch_stats,
+                                     eval_psnr)
+            if is_best:
+                log(f"Best PSNR is {self.ckpt.best_psnr:.2f} now!!")
+
+            # SGDR period boundary: reload best (reference: trainer_SID.py:169-179)
+            T = self.hyper.get("T", 1)
+            period = max((stop_epoch - self.last_epoch) // max(T, 1), 1)
+            if epoch % period == 0 and epoch < stop_epoch:
+                restored = self.ckpt.restore("best")
+                if restored is not None:
+                    self.state = self.state.replace(
+                        params=jax.tree.map(jnp.asarray, restored["params"])
+                    )
+                    log("Period boundary: reloaded best checkpoint")
+
+    # ------------------------------------------------------------------
+    def eval(self, epoch: int = -1):
+        """Eval loop with the reference's metric/log contract
+        (trainer_SID.py:181-320), metrics fully on-device."""
+        assert self.dataset_eval is not None
+        for m in (self.eval_psnr, self.eval_ssim, self.eval_psnr_lr,
+                  self.eval_ssim_lr, self.eval_psnr_dn, self.eval_ssim_dn):
+            m.reset()
+        metrics_path = f"./metrics/{self.model_name}_metrics.pkl"
+        metrics = {}
+        if os.path.exists(metrics_path):
+            with open(metrics_path, "rb") as f:
+                metrics = pickle.load(f)
+
+        brightness_correct = bool(self.args.get("brightness_correct", True))
+        ori = bool(self.dst_eval.get("ori", self.dst.get("ori", False)))
+
+        loader = DataLoader(self.dataset_eval, batch_size=1, shuffle=False,
+                            num_workers=0 if self.debug else 2)
+        for k, batch in enumerate(loader):
+            lr = jnp.asarray(batch["lr"])
+            hr = jnp.asarray(batch["hr"])
+            ratio = jnp.asarray(batch["ratio"]).reshape(-1, 1, 1, 1)
+            name = batch["name"][0] if isinstance(batch["name"], list) else batch["name"]
+
+            dn = self.eval_step(self.state, lr)
+            if ori:
+                lr = lr * ratio
+                dn = dn * ratio
+            lr = jnp.clip(lr, 0, 1)
+            dn = jnp.clip(dn, 0, 1)
+            if brightness_correct and epoch < 0:
+                dn = illuminance_correct(dn, hr)
+
+            out255 = dn[0] * 255.0
+            tgt255 = jnp.clip(hr[0], 0, 1) * 255.0
+            in255 = lr[0] * 255.0
+            p = float(psnr_fn(out255, tgt255))
+            s = float(ssim_fn(out255, tgt255))
+            self.eval_psnr.update(p)
+            self.eval_ssim.update(s)
+            metrics[name] = [p, s]
+            if self.save_plot:
+                p_in = float(psnr_fn(in255, tgt255))
+                s_in = float(ssim_fn(in255, tgt255))
+                self.eval_psnr_lr.update(p_in)
+                self.eval_ssim_lr.update(s_in)
+                self.eval_psnr_dn.update(p)
+                self.eval_ssim_dn.update(s)
+                if epoch < 0:
+                    self._plot_sample(lr[0], dn[0], hr[0], batch, name, epoch)
+            log(f"[{k + 1}/{len(loader)}] {name}: PSNR={p:.2f} SSIM={s:.4f}")
+
+        if not self.save_plot:
+            self.eval_psnr_dn, self.eval_ssim_dn = self.eval_psnr, self.eval_ssim
+        log(
+            f"Epoch {epoch}: PSNR={self.eval_psnr.avg:.2f}\n"
+            f"psnrs_lr={self.eval_psnr_lr.avg:.2f}, psnrs_dn={self.eval_psnr_dn.avg:.2f}\n"
+            f"ssims_lr={self.eval_ssim_lr.avg:.4f}, ssims_dn={self.eval_ssim_dn.avg:.4f}",
+            logfile=self.logfile,
+        )
+        if epoch < 0:
+            with open(metrics_path, "wb") as f:
+                pickle.dump(metrics, f)
+
+    def _plot_sample(self, lr, dn, hr, batch, name, epoch):
+        """3-panel comparison via the on-device ISP (reference used rawpy +
+        matplotlib in a process pool, trainer_SID.py:273-279)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+        wb = np.asarray(batch.get("wb", np.array([2.0, 1.0, 1.6, 1.0])))
+        if wb.ndim > 1:
+            wb = wb[0]
+        imgs = [np.asarray(fast_isp(x, wb=wb)) for x in (lr, dn, hr)]
+        fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+        for ax, img, title in zip(axes, imgs, ("noisy", "denoised", "gt")):
+            ax.imshow(np.clip(img, 0, 1))
+            ax.set_title(title)
+            ax.axis("off")
+        fig.savefig(os.path.join(self.sample_dir, f"{name}_epoch{epoch}.jpg"),
+                    bbox_inches="tight", dpi=60)
+        plt.close(fig)
+
+    # ------------------------------------------------------------------
+    def predict(self, raw_mosaic: np.ndarray, patch_size: int = 512, base: int = 64):
+        """Memory-bounded tiled full-frame inference
+        (reference: trainer_SID.py:345-360)."""
+        from pnnp_tpu.ops import tiled_apply
+        from pnnp_tpu.data.io import pack_raw_np
+
+        packed = pack_raw_np(raw_mosaic, self.dst.get("wp", 16383), self.dst.get("bl", 512))
+        fn = lambda tiles: self.eval_step(self.state, tiles)
+        out = tiled_apply(fn, jnp.asarray(packed), patch_size, base, tile_batch=4)
+        return np.asarray(out)
+
+
+def main(argv=None):
+    p = Parser.parse(argv)
+    trainer = Trainer(p.runfile, mode=p.mode, nofig=p.nofig, debug=p.debug)
+    mode = trainer.mode
+    if mode in ("train", "trainonly"):
+        trainer.train()
+    if mode in ("eval", "evaltest"):
+        ds = trainer.dataset_eval
+        if hasattr(ds, "ratio_list"):  # ELD-style dgain sweep (trainer_SID.py:538-549)
+            for dgain in list(trainer.dst_eval.get("ratio_list", [])):
+                ds.ratio_list = [dgain]
+                ds.recheck_length()
+                log(f"Dgain: {dgain}")
+                trainer.eval(-1)
+        elif hasattr(ds, "change_eval_ratio"):  # SID ratio splits
+            for ratio in (100, 250, 300):
+                ds.change_eval_ratio(ratio)
+                log(f"Dgain: {ratio}")
+                trainer.eval(-1)
+        else:
+            trainer.eval(-1)
+
+
+if __name__ == "__main__":
+    main()

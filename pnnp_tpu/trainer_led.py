@@ -1,0 +1,45 @@
+"""LED identity-eval harness (reference: trainer_LED.py).
+
+Scores raw noisy inputs (or externally-denoised results) under the same
+metric pipeline with NO denoiser: ``imgs_dn = imgs_lr``
+(reference: trainer_LED.py:111). Useful for input-PSNR reference points and
+for evaluating third-party outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from pnnp_tpu.trainer import Trainer
+
+
+class LEDTrainer(Trainer):
+    def __init__(self, runfile: str, mode: Optional[str] = "eval", **kw):
+        super().__init__(runfile, mode=mode, **kw)
+        # identity "network": bypass the model entirely
+        self.eval_step = lambda state, lr_img: jnp.asarray(lr_img)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--runfile", "-f", required=True)
+    p.add_argument("--mode", "-m", default="eval")
+    p.add_argument("--nofig", action="store_true")
+    a = p.parse_args(argv)
+    t = LEDTrainer(a.runfile, mode=a.mode, nofig=a.nofig)
+    ds = t.dataset_eval
+    if hasattr(ds, "ratio_list"):
+        for dgain in list(t.dst_eval.get("ratio_list", [])):
+            ds.ratio_list = [dgain]
+            ds.recheck_length()
+            t.eval(-1)
+    else:
+        t.eval(-1)
+
+
+if __name__ == "__main__":
+    main()

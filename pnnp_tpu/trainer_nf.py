@@ -1,0 +1,212 @@
+"""Noise-model (NoiseFlow / PNNP proxy) trainer.
+
+Counterpart of reference trainer_NF_SID.py / trainer_NF_LRID.py: trains a
+noise model on *real* noise residuals from paired data — per-dim NLL of
+``(lr - hr) / ratio`` conditioned on ``(clean, iso)`` — with the per-epoch
+KLD sanity check between sampled and real noise histograms
+(reference: trainer_NF_SID.py:117-123, 163-180).
+
+The whole NLL step (residual extraction -> bijector chain -> Adam) is one
+jitted program; KLD runs on-device via ``kl_div_norm_device``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pnnp_tpu.config import load_runfile
+from pnnp_tpu.data import build_dataset, DataLoader
+from pnnp_tpu.models import NoiseFlow, PixelWiseISOProxy
+from pnnp_tpu.ops.kld import kl_div_norm_device
+from pnnp_tpu.train import CheckpointManager, build_lr_schedule
+from pnnp_tpu.train.state import make_adam_direction, apply_scaled_updates, TrainState
+from pnnp_tpu.utils.logging import AverageMeter, log
+
+
+def make_nf_train_step(nf: NoiseFlow, lr_schedule):
+    """step(state, lr_img, hr_img, ratio, iso, epoch) -> (state, metrics)."""
+
+    def loss_fn(params, batch_stats, lr_img, hr_img, ratio, iso):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        rb = ratio.reshape(-1, 1, 1, 1)
+        noise = (lr_img - hr_img) / rb
+        clean = hr_img / rb
+        outs = nf.apply(
+            variables, noise, clean=clean, iso=iso, train=True,
+            method=nf.loss, mutable=["batch_stats"] if batch_stats else [],
+        )
+        (nll, sd_z), new_stats = outs if isinstance(outs, tuple) and len(outs) == 2 else (outs, {})
+        return nll, (sd_z, new_stats)
+
+    def step(state: TrainState, lr_img, hr_img, ratio, iso, epoch):
+        (nll, (sd_z, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, lr_img, hr_img, ratio, iso
+        )
+        lr = lr_schedule(epoch)
+        state = apply_scaled_updates(state, grads, lr)
+        if new_stats:
+            state = state.replace(batch_stats=new_stats.get("batch_stats", state.batch_stats))
+        return state, {"nll": nll, "sd_z": sd_z, "lr": lr}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_proxy_train_step(proxy: PixelWiseISOProxy, lr_schedule):
+    """Train the pw_iso_2stage proxy by NLL on real noise residuals."""
+
+    def loss_fn(params, lr_img, hr_img, ratio, iso):
+        rb = ratio.reshape(-1, 1, 1, 1)
+        noise = (lr_img - hr_img) / rb
+        nll, aux = proxy.apply({"params": params}, noise, iso, mode="loss")
+        return nll, aux
+
+    def step(state: TrainState, lr_img, hr_img, ratio, iso, epoch):
+        (nll, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, lr_img, hr_img, ratio, iso
+        )
+        lr = lr_schedule(epoch)
+        state = apply_scaled_updates(state, grads, lr)
+        return state, {"nll": nll, "lr": lr, **aux}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class NFTrainer:
+    """Noise-model training harness with the reference's last/best + KLD loop."""
+
+    def __init__(self, runfile: str, mode: Optional[str] = None, seed: int = 1997,
+                 model_kind: str = "noise_flow"):
+        self.args = load_runfile(runfile, mode=mode)
+        self.mode = self.args["mode"]
+        self.dst = self.args["dst"]
+        self.hyper = self.args["hyper"]
+        self.model_name = self.args["model_name"]
+        self.seed = seed
+        self.logfile = f"./logs/log_{self.model_name}.log"
+        patch = int(self.dst.get("patch_size", 256))
+
+        arch = self.args.get("arch", {})
+        if model_kind == "proxy" or "pw_iso" in arch.get("name", ""):
+            self.kind = "proxy"
+            self.model = PixelWiseISOProxy(
+                nf=int(arch.get("nf", 16)), nb=int(arch.get("nb", 2)),
+                d=int(arch.get("d", 1024)), mode=arch.get("mode", "2stage+iso"),
+                wp=float(self.dst.get("wp", 16383)), bl=float(self.dst.get("bl", 512)),
+            )
+            clean = jnp.zeros((1, patch, patch, 4))
+            variables = self.model.init(
+                {"params": jax.random.key(seed), "sample": jax.random.key(seed + 1)},
+                clean, jnp.ones((1,)) * 1600.0,
+            )
+        else:
+            self.kind = "noise_flow"
+            self.model = NoiseFlow(
+                x_shape=(patch, patch, 4),
+                arch=arch.get("arch", NoiseFlow.arch),
+                flow_permutation=int(arch.get("flow_permutation", 1)),
+            )
+            z = jnp.zeros((1, patch, patch, 4))
+            variables = self.model.init(jax.random.key(seed), z, clean=z, iso=1600.0)
+
+        self.state = TrainState.create(
+            apply_fn=self.model.apply,
+            params=variables["params"],
+            tx=make_adam_direction(),
+            batch_stats=variables.get("batch_stats", {}),
+        )
+        self.lr_schedule = build_lr_schedule(self.hyper)
+        self.train_step = (
+            make_proxy_train_step(self.model, self.lr_schedule)
+            if self.kind == "proxy"
+            else make_nf_train_step(self.model, self.lr_schedule)
+        )
+        self.ckpt = CheckpointManager(
+            self.args.get("fast_ckpt", "checkpoints"),
+            self.args.get("checkpoint", "saved_model"),
+            self.model_name, save_freq=self.hyper.get("save_freq", 10),
+        )
+        self.dataset_train = (
+            build_dataset(self.args["dst_train"], seed=seed)
+            if self.args.get("dst_train") else None
+        )
+        self.nll_meter = AverageMeter("NLL", ":4f")
+
+    def sample_noise(self, rng, clean, iso):
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        if self.kind == "proxy":
+            return self.model.apply(variables, clean, iso, rngs={"sample": rng},
+                                    mode="sample")
+        return self.model.apply(variables, rng, clean=clean, iso=iso,
+                                method=self.model.sample)
+
+    def kld_check(self, rng, lr_img, hr_img, ratio, iso, wp=16383, bl=512):
+        """Sampled-vs-real noise histogram KLD (reference: trainer_NF_SID.py:163-180)."""
+        rb = ratio.reshape(-1, 1, 1, 1)
+        real = (lr_img - hr_img)  # ADU-normalized residual at eval brightness
+        fake = self.sample_noise(rng, hr_img / rb, iso) * rb
+        span = wp - bl
+        return kl_div_norm_device(real * span, fake * span, bl=bl, wp=wp)
+
+    def train(self):
+        assert self.dataset_train is not None
+        loader = DataLoader(
+            self.dataset_train, batch_size=int(self.hyper.get("batch_size", 1)),
+            num_workers=int(self.args.get("num_workers", 2)), seed=self.seed,
+        )
+        stop_epoch = int(self.hyper.get("stop_epoch", 100))
+        rng = jax.random.key(self.seed)
+        wp = float(self.dst.get("wp", 16383))
+        bl = float(self.dst.get("bl", 512))
+
+        for epoch in range(1, stop_epoch + 1):
+            self.nll_meter.reset()
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            last_batch = None
+            for batch in loader:
+                lr_img = jnp.asarray(batch["lr"])
+                hr_img = jnp.asarray(batch["hr"])
+                ratio = jnp.asarray(batch["ratio"]).reshape(-1)
+                iso = jnp.asarray(batch["iso"]).reshape(-1)
+                self.state, m = self.train_step(self.state, lr_img, hr_img, ratio, iso, epoch)
+                self.nll_meter.update(float(m["nll"]))
+                last_batch = (lr_img, hr_img, ratio, iso)
+            log(f"Epoch {epoch}: nll/dim={self.nll_meter.avg:.4f} "
+                f"({time.time() - t0:.1f}s)", logfile=self.logfile)
+            if last_batch is not None and epoch % int(self.hyper.get("plot_freq", 10)) == 0:
+                rng, k = jax.random.split(rng)
+                kld = self.kld_check(k, *last_batch, wp=wp, bl=bl)
+                log(f"Epoch {epoch}: KLD fwd={float(kld['kl_fwd']):.4f} "
+                    f"inv={float(kld['kl_inv']):.4f} sym={float(kld['kl_sym']):.4f}",
+                    logfile=self.logfile)
+                self.ckpt.save(epoch, self.state.params, self.state.batch_stats,
+                               eval_psnr=-float(kld["kl_sym"]))
+            else:
+                self.ckpt.save(epoch, self.state.params, self.state.batch_stats)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--runfile", "-f", required=True)
+    p.add_argument("--mode", "-m", default="train")
+    p.add_argument("--kind", default="noise_flow", choices=["noise_flow", "proxy"])
+    a = p.parse_args(argv)
+    NFTrainer(a.runfile, mode=a.mode, model_kind=a.kind).train()
+
+
+if __name__ == "__main__":
+    main()

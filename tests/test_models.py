@@ -111,7 +111,7 @@ def test_noise_flow_invertible_and_nll():
 
     z, ldj = nf.apply(variables, noise, clean=clean, iso=iso, method=nf.forward)
     back = nf.apply(variables, z, clean=clean, iso=iso, method=nf.inverse)
-    np.testing.assert_allclose(np.asarray(back), np.asarray(noise), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(noise), rtol=1e-3, atol=1e-5)
 
     nll, sd_z = nf.apply(variables, noise, clean=clean, iso=iso, method=nf.loss)
     assert np.isfinite(float(nll)) and float(sd_z) > 0
@@ -135,10 +135,10 @@ def test_conv1x1_ldj_matches_slogdet():
         + np.diag(np.asarray(lu["sign_s"]) * np.exp(np.asarray(lu["log_s"])))
     )
     expected = np.linalg.slogdet(w)[1] * 36
-    np.testing.assert_allclose(np.asarray(ldj), expected, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ldj), expected, atol=1e-3)
     # invertibility
     back = layer.apply(v, z, method=layer.inverse)
-    np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-3, atol=1e-5)
 
 
 def test_proxy_sample_and_loss():

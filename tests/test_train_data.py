@@ -1,0 +1,233 @@
+"""Training pipeline + data layer + multi-chip dry run."""
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnnp_tpu.data import SIDDataset, ELDDataset, DataLoader, MultiDataset, collate
+from pnnp_tpu.models import UNetSeeInDark
+from pnnp_tpu.train import (
+    build_lr_schedule,
+    cosine_warm_restart,
+    create_train_state,
+    make_raw_synth,
+    make_train_step,
+    make_eval_step,
+    multistep,
+    unet_dpsv_loss,
+)
+
+
+# ---------------------------------------------------------------- schedules
+def ref_cos_lr(step, period=1000, peak=20, lr=1e-4, ratio=0.2):
+    """NumPy oracle of the reference SGDR schedule (base_trainer.py:141-149)."""
+    import math
+
+    T = step // period
+    decay = 2**T
+    step = step % period
+    if step <= peak and T > 0:
+        mul = step / peak
+    else:
+        mul = (1 - ratio) * (np.cos((step - peak) / (period - peak) * math.pi) * 0.5 + 0.5) + ratio
+    return lr * mul / decay
+
+
+def test_cosine_schedule_matches_reference():
+    for step in [0, 5, 19, 20, 21, 199, 200, 205, 399, 400, 750]:
+        ours = float(cosine_warm_restart(step, period=200, peak=20, lr=1e-4))
+        ref = ref_cos_lr(step, period=200, peak=20, lr=1e-4)
+        assert abs(ours - ref) < 1e-10, (step, ours, ref)
+
+
+def test_multistep_schedule():
+    assert float(multistep(100, period=1000, lr=1e-4)) == pytest.approx(1e-4)
+    assert float(multistep(600, period=1000, lr=1e-4)) == pytest.approx(5e-5)
+    assert float(multistep(950, period=1000, lr=1e-4)) == pytest.approx(1e-5)
+
+
+# ---------------------------------------------------------------- train step
+@pytest.mark.slow
+def test_train_step_learns_identity():
+    model = UNetSeeInDark(nf=4)
+    state = create_train_state(jax.random.key(0), model, jnp.zeros((1, 16, 16, 4)))
+    lr_schedule = build_lr_schedule(
+        {"lr_scheduler": "fixed", "learning_rate": 1e-3, "stop_epoch": 10, "last_epoch": 0}
+    )
+    synth = make_raw_synth("SonyA7S2", "prq", ori=False, clip=False)
+    step = make_train_step(model, lr_schedule, synth, clip_mode=2)
+
+    rng = np.random.default_rng(0)
+    batch = {"hr": jnp.asarray(rng.uniform(0, 0.05, (4, 16, 16, 4)).astype(np.float32))}
+    losses = []
+    key = jax.random.key(1)
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k, 1)
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_eval_step_pads_to_16():
+    model = UNetSeeInDark(nf=4)
+    state = create_train_state(jax.random.key(0), model, jnp.zeros((1, 16, 16, 4)))
+    es = make_eval_step(model)
+    out = es(state, jnp.zeros((1, 30, 42, 4)))
+    assert out.shape == (1, 30, 42, 4)
+
+
+def test_dpsv_loss_shapes():
+    outs = tuple(jnp.zeros((1, 16 // s, 16 // s, 4)) for s in (1, 2, 4, 8))
+    loss = unet_dpsv_loss(outs, jnp.ones((1, 16, 16, 4)))
+    assert float(loss) == pytest.approx(1.0, rel=1e-5)
+
+
+# ---------------------------------------------------------------- data layer
+def make_sid_fixture(tmp_path, n_scenes=3, H=32, W=48):
+    """Tiny synthetic SID tree: npy mosaics + reference-format info pickle."""
+    rng = np.random.default_rng(0)
+    infos = []
+    os.makedirs(tmp_path / "infos", exist_ok=True)
+    for i in range(n_scenes):
+        long_path = str(tmp_path / f"{i:05d}_00_10s.npy")
+        np.save(long_path, rng.integers(512, 16383, (H, W)).astype(np.float32))
+        shorts, ratios = [], []
+        for j, r in enumerate([100, 250, 300]):
+            sp = str(tmp_path / f"{i:05d}_{j:02d}_short.npy")
+            np.save(sp, rng.integers(400, 2000, (H, W)).astype(np.float32))
+            shorts.append(sp)
+            ratios.append(r)
+        infos.append({
+            "name": f"{i:05d}_00", "long": long_path, "short": shorts,
+            "ratio": ratios, "ISO": 1600, "ExposureTime": 10.0,
+            "wb": np.array([2.0, 1.0, 1.5, 1.0], np.float32),
+            "ccm": np.eye(3, dtype=np.float32),
+        })
+    for mode in ("train", "eval", "evaltest"):
+        with open(tmp_path / "infos" / f"SID_{mode}.info", "wb") as f:
+            pickle.dump([dict(e, short=list(e["short"]), ratio=list(e["ratio"])) for e in infos], f)
+    return infos
+
+
+def test_sid_dataset_train(tmp_path):
+    make_sid_fixture(tmp_path)
+    dst = dict(
+        dataset="SID_Dataset", mode="train", H=32, W=48, patch_size=8,
+        crop_per_image=2, croptype="random_crop", command="idremap",
+        wp=16383, bl=512, ori=False, clip=2, infos_dir=str(tmp_path / "infos"),
+    )
+    ds = SIDDataset(dst)
+    sample = ds[0]
+    assert sample["hr"].shape == (2, 8, 8, 4)
+    assert sample["lr"].shape == (2, 8, 8, 4)
+    assert sample["hr"].min() >= 0 and sample["hr"].max() <= 1
+    assert float(sample["ratio"][0]) in (100.0, 250.0, 300.0)
+    # lr was amplified by ratio and half-clipped to <= 1
+    assert sample["lr"].max() <= 1.0 + 1e-6
+
+
+def test_sid_dataset_eval_splits(tmp_path):
+    make_sid_fixture(tmp_path, n_scenes=2)
+    # evaltest remap requires >= 80 entries normally; emulate by duplication
+    with open(tmp_path / "infos" / "SID_evaltest.info", "rb") as f:
+        infos = pickle.load(f)
+    big = []
+    for k in range(120):
+        e = dict(infos[k % len(infos)])
+        e["short"] = e["short"][0]
+        e["ratio"] = e["ratio"][0]
+        big.append(e)
+    with open(tmp_path / "infos" / "SID_evaltest.info", "wb") as f:
+        pickle.dump(big, f)
+    dst = dict(
+        dataset="SID_Dataset", mode="evaltest", H=32, W=48, patch_size=8,
+        wp=16383, bl=512, ori=False, clip=2, command="",
+        infos_dir=str(tmp_path / "infos"),
+    )
+    ds = SIDDataset(dst)
+    ds.change_eval_ratio(100)
+    assert len(ds) == 40
+    s = ds[0]
+    assert s["hr"].shape == (1, 16, 24, 4)
+
+
+def test_loader_collate_and_prefetch(tmp_path):
+    make_sid_fixture(tmp_path)
+    dst = dict(
+        dataset="SID_Dataset", mode="train", H=32, W=48, patch_size=8,
+        crop_per_image=2, croptype="random_crop", command="", wp=16383, bl=512,
+        ori=False, clip=2, infos_dir=str(tmp_path / "infos"),
+    )
+    ds = SIDDataset(dst)
+    loader = DataLoader(ds, batch_size=2, num_workers=2, seed=7)
+    batches = list(loader)
+    assert len(batches) == 2  # 3 scenes, bs 2
+    assert batches[0]["hr"].shape == (4, 8, 8, 4)  # 2 scenes x 2 crops
+    assert batches[0]["ratio"].shape == (4,)
+
+
+def test_multidataset_concat(tmp_path):
+    make_sid_fixture(tmp_path)
+    dst = dict(
+        dataset="SID_Dataset", mode="train", H=32, W=48, patch_size=8,
+        crop_per_image=1, croptype="random_crop", command="", wp=16383, bl=512,
+        ori=False, clip=2, infos_dir=str(tmp_path / "infos"),
+    )
+    a, b = SIDDataset(dst), SIDDataset(dst)
+    m = MultiDataset([a, b])
+    assert len(m) == len(a) + len(b)
+    assert m[len(a)]["hr"].shape == m[0]["hr"].shape
+
+
+def test_eld_dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    H, W = 32, 48
+    scenes = []
+    combos = [(i, r) for i in (800, 1600, 3200) for r in (100, 200)] * 2
+    for s in range(2):
+        entries = []
+        ci = 0
+        for img_id in range(1, 17):
+            p = str(tmp_path / f"scene{s}_IMG_{img_id:04d}.npy")
+            np.save(p, rng.integers(512, 16383, (H, W)).astype(np.float32))
+            if img_id in (1, 6, 11, 16):
+                iso, ratio = 100, 1
+            else:
+                iso, ratio = combos[ci]
+                ci += 1
+            entries.append({
+                "name": f"IMG_{img_id:04d}", "data": p, "ISO": iso, "ratio": ratio,
+                "ExposureTime": 1.0, "wb": np.array([2, 1, 1.5, 1], np.float32),
+                "ccm": np.eye(3, dtype=np.float32),
+            })
+        scenes.append(entries)
+    os.makedirs(tmp_path / "infos", exist_ok=True)
+    with open(tmp_path / "infos" / "ELD_SonyA7S2.info", "wb") as f:
+        pickle.dump(scenes, f)
+
+    dst = dict(
+        dataset="ELD_Dataset", mode="eval", H=H, W=W, wp=16383, bl=512,
+        ori=False, clip=2, command="", infos_dir=str(tmp_path / "infos"),
+        iso_list=[800, 1600, 3200], ratio_list=[100, 200], patch_size=8,
+    )
+    ds = ELDDataset(dst)
+    assert len(ds) == 2 * 3 * 2
+    s0 = ds[0]
+    assert s0["hr"].shape == (1, H // 2, W // 2, 4)
+    ds.fast_eval(True)
+    assert len(ds) == 2 * 3 * 1
+    ds.fast_eval(False)
+    assert len(ds) == 12
+
+
+# ---------------------------------------------------------------- multichip
+@pytest.mark.slow
+def test_dryrun_multichip_8dev():
+    import __graft_entry__ as ge
+
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    ge.dryrun_multichip(8)
