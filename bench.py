@@ -30,16 +30,20 @@ def main():
 
     @jax.jit
     def fwd(params, x):
-        return model.apply(params, x)
+        # residual-style feedback keeps iterations data-dependent so the
+        # timing loop cannot overlap or be skipped by an async runtime
+        return model.apply(params, x) * 1e-3 + x
 
-    # warmup + compile
-    fwd(params, x).block_until_ready()
+    # warmup + compile (force a host readback — block_until_ready alone is
+    # not reliable through remote-device tunnels)
+    y = fwd(params, x)
+    float(jnp.sum(y))
 
     n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = fwd(params, x)
-    out.block_until_ready()
+        x = fwd(params, x)
+    float(jnp.sum(x))  # forces the whole chain
     dt = (time.perf_counter() - t0) / n_iter
 
     mpix = B * H * W * 4 / 1e6  # Bayer mosaic megapixels per frame

@@ -273,7 +273,10 @@ class ELDDataset(BaseRawDataset):
         """2-scene last-ratio subset for cheap in-training validation."""
         if on and not self._fast:
             self._backup = (self.scenes, self.ratio_list)
-            self.scenes = [self.scenes[-3], self.scenes[-1]]
+            # reference picks scenes [-3] and [-1]; degrade gracefully for
+            # smaller scene sets
+            picks = sorted({max(-len(self.scenes), -3), -1})
+            self.scenes = [self.scenes[i] for i in picks]
             self.ratio_list = list(self.args["ratio_list"])[-1:]
             self._fast = True
         elif not on and self._fast:
