@@ -67,6 +67,53 @@ class SignalDependantISO(Bijector):
         return z * self._scale(clean, iso)
 
 
+class SignalDependantNS(Bijector):
+    """Neural-spline signal-dependent bijector: an RQ spline whose bin
+    parameters come from a CNN over the clean image
+    (reference: signal_dependant.py:131-258)."""
+
+    num_channels: int = 4
+    num_bins: int = 10
+    tail_bound: float = 1.0
+    hidden: int = 16
+
+    def setup(self):
+        self.mult = self.num_bins * 3 - 1  # linear tails
+        self.net1 = nn.Conv(self.hidden, (3, 3), padding="SAME", name="net1")
+        self.net2 = nn.Conv(self.num_channels * self.mult, (1, 1), name="net2",
+                            kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.zeros)
+
+    def _params(self, clean):
+        h = nn.relu(self.net1(clean))
+        p = self.net2(h)  # [n, H, W, C*mult]
+        n, H, W, _ = p.shape
+        p = p.reshape(n, H, W, self.num_channels, self.mult)
+        scale = 1.0 / jnp.sqrt(self.hidden)
+        w = p[..., : self.num_bins] * scale
+        hgt = p[..., self.num_bins : 2 * self.num_bins] * scale
+        d = p[..., 2 * self.num_bins :]
+        return w, hgt, d
+
+    def forward_ldj(self, x, clean=None, **ctx):
+        from pnnp_tpu.models.flows.spline import unconstrained_rational_quadratic_spline
+
+        w, h, d = self._params(clean)
+        z, ladj = unconstrained_rational_quadratic_spline(
+            x, w, h, d, inverse=False, tail_bound=self.tail_bound
+        )
+        return z, sum_except_batch(ladj)
+
+    def inverse(self, z, clean=None, **ctx):
+        from pnnp_tpu.models.flows.spline import unconstrained_rational_quadratic_spline
+
+        w, h, d = self._params(clean)
+        x, _ = unconstrained_rational_quadratic_spline(
+            z, w, h, d, inverse=True, tail_bound=self.tail_bound
+        )
+        return x
+
+
 class GainISO(Bijector):
     """scale = exp(cam_param(iso) * gain_params) * iso (reference gain.py:65-110)."""
 
