@@ -139,27 +139,37 @@ def get_eld_info(root_dir: str, out_path: str, camera: str = "SonyA7S2",
     return scenes
 
 
-def get_lrid_info(root_dir: str, out_path: str, dstname: str = "indoor_x5") -> list:
-    """Build the LRID index: per scene, one GT + ratio-laddered shorts
-    (reference: get_IMX686_info_{long,short}). Layout:
-    ``{root}/{dstname}/{scene_id}/{GT|short}/*.dng[.npy]``."""
-    infos = []
+def get_lrid_info(root_dir: str, out_path: str, dstname: str = "indoor_x5",
+                  ratio_list=(1, 2, 4, 8, 16), gt_type: str = "GT_align_ours") -> list:
+    """Build the LRID index pair the phone datasets consume
+    (reference: get_IMX686_info_{long,short}): a GT index
+    ``{dstname}_{gt_type}.info`` (list of scenes) plus a short index
+    ``{dstname}_short.info`` ``{dgain: [ {'data': [...], 'metadata': [...]}
+    per scene ]}``. Expected layout:
+    ``{root}/{dstname}/{scene}/{GT*|short*_xN}/*.dng[.npy]``."""
+    gt_infos = []
+    short_infos = {dg: [] for dg in ratio_list}
     scene_dirs = sorted(glob.glob(os.path.join(root_dir, dstname, "*")))
     for sd in scene_dirs:
         gts = sorted(
             p for p in glob.glob(os.path.join(sd, "GT*", "*")) if not p.endswith(".json")
         )
-        shorts = sorted(
-            p for p in glob.glob(os.path.join(sd, "short*", "*")) if not p.endswith(".json")
-        )
         if not gts:
             continue
         meta_g = _meta_for(gts[0])
-        ratios = [meta_g["ExposureTime"] / _meta_for(s)["ExposureTime"] for s in shorts]
-        infos.append({
-            "name": os.path.basename(sd), "long": gts[0], "gt_frames": gts,
-            "short": shorts, "ratio": ratios, **meta_g,
-        })
-    save_info(infos, out_path)
-    log(f"LRID[{dstname}] index: {len(infos)} scenes -> {out_path}")
-    return infos
+        gt_infos.append({"name": os.path.basename(sd), "data": gts[0], **meta_g})
+        for dg in ratio_list:
+            shorts = sorted(
+                p for p in glob.glob(os.path.join(sd, f"short*x{dg}", "*"))
+                + glob.glob(os.path.join(sd, f"short_x{dg:02d}", "*"))
+                if not p.endswith(".json")
+            )
+            short_infos[dg].append({
+                "data": shorts,
+                "metadata": [_meta_for(s) for s in shorts],
+            })
+    save_info(gt_infos, out_path)
+    short_path = os.path.join(os.path.dirname(out_path), f"{dstname}_short.info")
+    save_info(short_infos, short_path)
+    log(f"LRID[{dstname}] index: {len(gt_infos)} scenes -> {out_path} + {short_path}")
+    return gt_infos
