@@ -49,7 +49,10 @@ def torch_state_to_flax(
         if leaf == "weight" and arr.ndim == 4:
             is_transpose = any(t in path[-1] for t in transpose_names)
             if is_transpose:
-                arr = arr.transpose(2, 3, 0, 1)  # [I,O,kh,kw] -> [kh,kw,I,O]
+                # torch ConvTranspose2d applies the kernel unflipped; flax
+                # ConvTranspose (lax.conv_transpose) applies it spatially
+                # flipped — so flip kh/kw in the mapping.
+                arr = arr.transpose(2, 3, 0, 1)[::-1, ::-1]  # [I,O,kh,kw] -> [kh,kw,I,O]
             else:
                 arr = arr.transpose(2, 3, 1, 0)  # [O,I,kh,kw] -> [kh,kw,I,O]
         _set_nested(params, path + [leaf_name], arr)
@@ -71,7 +74,7 @@ def flax_to_torch_state(params: Mapping[str, Any],
             arr = np.asarray(node["kernel"])
             if arr.ndim == 4:
                 if any(t in path[-1] for t in transpose_names):
-                    arr = arr.transpose(2, 3, 0, 1)
+                    arr = arr[::-1, ::-1].transpose(2, 3, 0, 1)  # undo the flip
                 else:
                     arr = arr.transpose(3, 2, 0, 1)
             out[name + ".weight"] = arr

@@ -27,3 +27,11 @@ from pnnp_tpu.ops.tukey import (
 from pnnp_tpu.ops.metrics import psnr, ssim, quality_assess
 from pnnp_tpu.ops.tiling import eval_crop, eval_merge, tiled_apply
 from pnnp_tpu.ops.correct import illuminance_correct
+from pnnp_tpu.ops.kld import (
+    kl_div_norm,
+    kl_div_norm_device,
+    kl_div_3_data,
+    quantile_loss,
+    cdf_loss,
+)
+from pnnp_tpu.ops.filters import stdfilt, guided_filter, fast_guided_filter, row_denoise

@@ -20,6 +20,9 @@ from pnnp_tpu.models import (
 def small_unet():
     model = UNetSeeInDark(nf=4)
     params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 4)))
+    # Rescale away from the tiny N(0, 0.02) init: parity errors (e.g. a
+    # mis-mapped ConvTranspose tap) must not vanish below tolerance.
+    params = jax.tree.map(lambda a: a * 5.0, params)
     return model, params
 
 
