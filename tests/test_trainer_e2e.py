@@ -1,0 +1,83 @@
+"""End-to-end trainer test: runfile -> train epochs -> eval, on synthetic data.
+
+The reference has no tests; its de-facto oracle is the eval log format
+(SURVEY.md §4). This exercises the full stack — config load, dataset,
+loader, on-device synthesis, jitted train step, checkpointing, eval with
+PSNR/SSIM + illuminance correction, log file emission — on a tiny synthetic
+SID tree.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.test_train_data import make_sid_fixture
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    make_sid_fixture(tmp_path, n_scenes=3, H=32, W=48)
+
+    runfile = {
+        "mode": "train",
+        "checkpoint": "saved_model/T",
+        "fast_ckpt": "checkpoints/T",
+        "model_name": "TEST_PNNP_Unet",
+        "result_dir": "images/",
+        "num_workers": 0,
+        "brightness_correct": True,
+        "dst": {
+            "root_dir": ".", "dataset": "Raw_Dataset", "dstname": "SID",
+            "command": "", "camera_type": "SonyA7S2", "noise_code": "pr",
+            "patch_size": 8, "H": 32, "W": 48, "crop_per_image": 2,
+            "croptype": "random_crop", "wp": 16383, "bl": 512,
+            "ori": False, "clip": 2, "gpu_preprocess": True,
+            "infos_dir": str(tmp_path / "infos"),
+        },
+        "arch": {"name": "UNetSeeInDark", "in_nc": 4, "out_nc": 4, "nf": 4,
+                 "nframes": 1, "res": False},
+        "hyper": {"lr_scheduler": "WarmupCosine", "learning_rate": 1e-3,
+                  "batch_size": 1, "last_epoch": 0, "step_size": 2,
+                  "stop_epoch": 3, "T": 1, "save_freq": 1, "plot_freq": 50,
+                  "best_psnr": 0},
+    }
+    runfile["dst_train"] = dict(runfile["dst"], mode="train")
+    runfile["dst_eval"] = dict(runfile["dst"], mode="eval", dataset="SID_Dataset",
+                               clip=2)
+    with open(tmp_path / "run.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+
+    # SID eval split needs >= 80 entries for evaltest remap; use eval mode
+    # infos with single-short entries instead.
+    with open(tmp_path / "infos" / "SID_eval.info", "rb") as f:
+        infos = pickle.load(f)
+    big = []
+    for k in range(120):
+        e = dict(infos[k % len(infos)])
+        e["short"] = e["short"][0]
+        e["ratio"] = e["ratio"][0]
+        big.append(e)
+    with open(tmp_path / "infos" / "SID_eval.info", "wb") as f:
+        pickle.dump(big, f)
+
+    from pnnp_tpu.trainer import Trainer
+
+    t = Trainer(str(tmp_path / "run.yml"), mode="train", nofig=True, debug=True)
+    t.train()
+
+    # checkpoints written (last + best-on-eval may not exist without eval)
+    assert os.path.exists(t.ckpt.last_path())
+    # log file written
+    assert os.path.exists(f"./logs/log_{runfile['model_name']}.log")
+
+    # eval on the (synthetic) SID eval split
+    t2 = Trainer(str(tmp_path / "run.yml"), mode="eval", nofig=True, debug=True)
+    t2.dataset_eval.change_eval_ratio(100)
+    t2.eval(-1)
+    assert t2.eval_psnr.count > 0
+    assert np.isfinite(t2.eval_psnr.avg)
+    assert os.path.exists(f"./metrics/{runfile['model_name']}_metrics.pkl")
