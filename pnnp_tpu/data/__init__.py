@@ -17,3 +17,5 @@ from pnnp_tpu.data.datasets import (
 )
 from pnnp_tpu.data.loader import DataLoader, collate
 from pnnp_tpu.data import infos
+from pnnp_tpu.data.extra import ImgDataset, MixedSubsetDataset
+from pnnp_tpu.data import phone

@@ -1,0 +1,73 @@
+"""Additional datasets: sRGB-unprocessing and indoor+X mixers.
+
+Ports of reference syn_datasets.Img_Dataset (Brooks unprocess pipeline on
+sRGB images) and the Multi_{Real,Sync,Mix}_Dataset combinators
+(reference: data_process/__init__.py:42-141) — an 'indoor' base dataset mixed
+with a second subset at a 1:4 crop ratio.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from pnnp_tpu.data.datasets import BaseRawDataset, _clip_pair
+from pnnp_tpu.data.io import dataload
+
+
+class ImgDataset(BaseRawDataset):
+    """sRGB image -> unprocessed raw training pairs (reference:
+    syn_datasets.py:207-283). The unprocess + noise stages run on-device
+    (pnnp_tpu.physics.unprocess / train.steps); the host only loads + crops
+    sRGB images and hands them over as [n, p, p, 3] float."""
+
+    def __init__(self, args=None, seed: int = 1997):
+        super().__init__(args, seed)
+        root = self.args.get("root_dir", ".")
+        exts = (".png", ".jpg", ".jpeg", ".bmp", ".npy")
+        self.files = sorted(
+            p for p in glob.glob(os.path.join(root, "**", "*"), recursive=True)
+            if os.path.splitext(p)[-1].lower() in exts
+        )
+        self.length = len(self.files)
+
+    def __getitem__(self, idx):
+        img = np.asarray(dataload(self.files[idx]), np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        H, W = img.shape[:2]
+        p = self.args["patch_size"] * 2  # sRGB-space patch (mosaic halves it)
+        n = self.args["crop_per_image"]
+        crops = np.empty((n, p, p, 3), np.float32)
+        for i in range(n):
+            h0 = int(self.rng.integers(0, max(H - p, 1)))
+            w0 = int(self.rng.integers(0, max(W - p, 1)))
+            crops[i] = img[h0 : h0 + p, w0 : w0 + p, :3]
+        return {
+            "srgb": crops,
+            "name": os.path.basename(self.files[idx]),
+            "ratio": np.ones(n, np.float32),
+        }
+
+
+class MixedSubsetDataset:
+    """indoor + X mixer: full sampling of the indoor base, 1/4-rate sampling
+    of the second subset (reference: Multi_Real/Mix_Dataset semantics)."""
+
+    def __init__(self, base, extra, extra_rate: int = 4):
+        self.base = base
+        self.extra = extra
+        self.extra_rate = extra_rate
+        self.l1 = len(base)
+        self.l2 = len(extra)
+
+    def __len__(self):
+        return self.l1 + max(self.l2 // self.extra_rate, 1)
+
+    def __getitem__(self, idx):
+        if idx < self.l1:
+            return self.base[idx]
+        j = (idx - self.l1) * self.extra_rate % max(self.l2, 1)
+        return self.extra[j]

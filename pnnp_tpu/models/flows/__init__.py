@@ -1,6 +1,11 @@
 from pnnp_tpu.models.flows.base import Bijector, sum_except_batch
 from pnnp_tpu.models.flows.conv1x1 import InvertibleConv1x1
-from pnnp_tpu.models.flows.coupling import AffineCoupling, ShiftAndLogScale
+from pnnp_tpu.models.flows.coupling import (
+    AffineCoupling,
+    AffineCouplingV2,
+    ShiftAndLogScale,
+    ShiftAndLogScaleV2,
+)
 from pnnp_tpu.models.flows.sdn import SignalDependantISO, SignalDependantNS, GainISO
 from pnnp_tpu.models.flows.basic import (
     ActNorm,

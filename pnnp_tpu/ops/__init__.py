@@ -7,6 +7,8 @@ from pnnp_tpu.ops.bayer import (
     rows2bayer,
     raw2bayer,
     bayer2raw,
+    bayer2gray,
+    repair_bad_pixels,
 )
 from pnnp_tpu.ops.isp import (
     apply_gains,

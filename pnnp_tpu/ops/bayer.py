@@ -108,6 +108,39 @@ def raw2bayer(
     return out
 
 
+def bayer2gray(raw: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-equivalent grayscale from a mosaic ``[..., H, W]``
+    (reference: utils/isp_ops.py:70-74 used cv2.filter2D)."""
+    import jax
+
+    k = jnp.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], jnp.float32) / 16.0
+    lead = raw.shape[:-2]
+    x = raw.reshape((-1,) + raw.shape[-2:] + (1,)).astype(jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    out = jax.lax.conv_general_dilated(
+        xp, k[:, :, None, None], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out.reshape(lead + raw.shape[-2:])
+
+
+def repair_bad_pixels(raw: jnp.ndarray, bad_mask: jnp.ndarray) -> jnp.ndarray:
+    """Replace flagged pixels with the median of their 3x3 same-color
+    neighbourhood (reference: utils/isp_ops.py:115-123 used cv2.medianBlur
+    per RGGB plane + point writes)."""
+    H, W = raw.shape
+    rggb = bayer2rggb(raw)  # [H/2, W/2, 4]
+    xp = jnp.pad(rggb, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    stack = jnp.stack(
+        [xp[1 + dy : xp.shape[0] - 1 + dy, 1 + dx : xp.shape[1] - 1 + dx]
+         for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+        axis=0,
+    )
+    med = jnp.median(stack, axis=0)
+    fixed = rggb2bayer(med)
+    return jnp.where(bad_mask, fixed, raw)
+
+
 def bayer2raw(packed: jnp.ndarray, wp: float = 16383.0, bl: float = 512.0) -> jnp.ndarray:
     """Unpack normalized RGBG ``[..., h, w, 4]`` back to an integer-range mosaic.
 
