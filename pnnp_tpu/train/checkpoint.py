@@ -35,6 +35,41 @@ def save_checkpoint(path: str, params, batch_stats=None, meta: Optional[dict] = 
         pickle.dump(payload, f)
 
 
+def save_checkpoint_orbax(path: str, params, batch_stats=None,
+                          meta: Optional[dict] = None):
+    """Orbax-backed checkpoint (sharding-aware, async-capable) for large runs.
+
+    The pickle tier stays the default for the reference's small denoisers;
+    orbax is the right backend once params are sharded across a mesh.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": params}
+    if batch_stats is not None:
+        payload["batch_stats"] = batch_stats
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if meta:
+        with open(path + ".meta", "wb") as f:
+            pickle.dump(meta, f)
+
+
+def load_checkpoint_orbax(path: str, template=None) -> dict:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(path, template)
+    meta = {}
+    if os.path.exists(path + ".meta"):
+        with open(path + ".meta", "rb") as f:
+            meta = pickle.load(f)
+    return {"params": payload.get("params"),
+            "batch_stats": payload.get("batch_stats"), "meta": meta}
+
+
 def load_checkpoint(path: str) -> dict:
     with open(path, "rb") as f:
         return pickle.load(f)
