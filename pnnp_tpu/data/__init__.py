@@ -9,6 +9,7 @@ from pnnp_tpu.data.datasets import (
     ProxyDataset,
     ELDDataset,
     MixDataset,
+    PMNNPDataset,
     SFRNDataset,
     TestDataset,
     MultiDataset,

@@ -398,6 +398,21 @@ class MixDataset(SIDDataset):
         }
 
 
+class PMNNPDataset(SIDDataset):
+    """PMN+proxy hybrid: real paired data with dark-shading jitter; the SNA
+    augmentation runs on-device (make_mix_synth). Short-exposure pick is
+    uniform (no idremap restriction) and black frames are never substituted
+    (reference: real_datasets.py:505-586)."""
+
+    def _pick_lr_id(self, idx):
+        return int(self.rng.integers(len(self.infos[idx]["ratio"])))
+
+    def __getitem__(self, idx):
+        data = super().__getitem__(idx)
+        data["black_lr"] = False
+        return data
+
+
 class SFRNDataset(BaseRawDataset):
     """Real bias frame + HBR + on-device Poisson shot (noise_code + 'b').
 
@@ -500,7 +515,7 @@ def _phone_registry():
 
 DATASET_REGISTRY = {
     "SID_Dataset": SIDDataset,
-    "PMNNP_Dataset": MixDataset,
+    "PMNNP_Dataset": PMNNPDataset,
     "Mix_Dataset": MixDataset,
     "Raw_Dataset": RawDataset,
     "NF_Syn_Dataset": NFSynDataset,
