@@ -85,6 +85,22 @@ def flax_to_torch_state(params: Mapping[str, Any],
     return out
 
 
+def eld_checkpoint_to_flax(path: str) -> dict:
+    """Load an ELD-format torch checkpoint ({'netG': state_dict}) as flax params.
+
+    The analog of the reference's pth_transfer tool (utils/utils.py:257-270):
+    unwraps the 'netG' container then applies the standard layout mapping.
+    """
+    import torch
+
+    state = torch.load(path, map_location="cpu")
+    if isinstance(state, dict) and "netG" in state:
+        state = state["netG"]
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    return torch_state_to_flax(state)
+
+
 def load_tolerant(target_params: dict, loaded_params: dict, by_name: bool = True) -> dict:
     """Name/shape-tolerant merge of ``loaded_params`` into ``target_params``.
 

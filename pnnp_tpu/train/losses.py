@@ -60,6 +60,48 @@ def unet_dpsv_loss(outputs, target, charbonnier: bool = False):
     return pyramid_loss(list(outputs), highs, rate=0.5, charbonnier=charbonnier)
 
 
+def _grad_kernels():
+    sobel_x = jnp.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]], jnp.float32)
+    robert_x = jnp.array([[0, 0], [-1, 1]], jnp.float32)
+    return sobel_x, robert_x
+
+
+def gradient(x, direction: str = "x", mode: str = "sobel"):
+    """Sobel/Robert image gradients (reference: base_loss.py Sobel/Robert ops)."""
+    sobel_x, robert_x = _grad_kernels()
+    k = sobel_x if mode == "sobel" else robert_x
+    if direction == "y":
+        k = k.T
+    kh, kw = k.shape
+    pad = ((0, 0), (kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2), (0, 0))
+    xpad = jnp.pad(x, pad)
+    c = x.shape[-1]
+    kernel = jnp.zeros((kh, kw, c, c)).at[:, :, jnp.arange(c), jnp.arange(c)].set(
+        k[:, :, None]
+    )
+    return jax.lax.conv_general_dilated(
+        xpad, kernel, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def grad_loss(pred, target, mode: str = "sobel"):
+    """L1 on gradient maps (reference: base_loss.py grad_loss)."""
+    gx = jnp.abs(gradient(pred, "x", mode) - gradient(target, "x", mode))
+    gy = jnp.abs(gradient(pred, "y", mode) - gradient(target, "y", mode))
+    return jnp.mean(gx + gy)
+
+
+def gan_loss(logits, target_is_real: bool, mode: str = "lsgan"):
+    """GAN criterion (reference: base_loss.py:135-182; vanilla/lsgan)."""
+    target = jnp.ones_like(logits) if target_is_real else jnp.zeros_like(logits)
+    if mode == "lsgan":
+        return jnp.mean((logits - target) ** 2)
+    # vanilla: BCE with logits
+    return jnp.mean(
+        jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
 def psnr_loss(pred, target):
     """Per-image mean PSNR on [0,1] tensors (reference: losses/__init__.py:4-15)."""
     mse = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))

@@ -259,16 +259,23 @@ class Trainer:
             self.timer.reset()
             loader.set_epoch(epoch)
             t0 = time.time()
-            for batch in loader:
-                self.timer.tick("loader")
-                rng, step_key = jax.random.split(rng)
-                dev_batch = {
-                    k: jnp.asarray(v) for k, v in batch.items()
-                    if isinstance(v, np.ndarray) and v.dtype != object
-                }
-                self.state, metrics = self.train_step(self.state, dev_batch, step_key, epoch)
-                self.timer.tick("net")
-                self.train_psnr.update(float(metrics["psnr"]))
+            try:
+                for batch in loader:
+                    self.timer.tick("loader")
+                    rng, step_key = jax.random.split(rng)
+                    dev_batch = {
+                        k: jnp.asarray(v) for k, v in batch.items()
+                        if isinstance(v, np.ndarray) and v.dtype != object
+                    }
+                    self.state, metrics = self.train_step(self.state, dev_batch, step_key, epoch)
+                    self.timer.tick("net")
+                    self.train_psnr.update(float(metrics["psnr"]))
+            except RuntimeError as e:
+                # Fault tolerance: log and continue with the next epoch (the
+                # reference does the same for OOM-class failures,
+                # trainer_LRID.py:131-135). The LR is a pure function of the
+                # epoch, so skipping a partial epoch is safe.
+                log(f"Epoch {epoch} aborted by RuntimeError: {e}; continuing")
             self.train_psnr.record()
             shares = self.timer.shares()
             log(
