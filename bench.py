@@ -20,29 +20,33 @@ BASELINE_MPIX_S = 500.0
 
 def main():
     from pnnp_tpu.models import UNetSeeInDark
+    from pnnp_tpu.models.unet_s2d import transform_params_hybrid, unet_hybrid_forward
 
-    model = UNetSeeInDark(nf=32, dtype=jnp.bfloat16)
-    # SID full frame is 2848x4256 mosaic -> packed 1424x2128x4. Use a
-    # 1424x2128 packed tile (pad W 2128->2128, already %16=0; H 1424%16=0).
+    model = UNetSeeInDark(nf=32)
+    # SID full frame is 2848x4256 mosaic -> packed 1424x2128x4 (both %16=0).
     B, H, W = 1, 1424, 2128
     x = jnp.zeros((B, H, W, 4), jnp.float32)
-    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 4)))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 4)))["params"]
+    # Exact-equivalent dense-s2d level-1 fast path (tests/test_unet_s2d.py),
+    # bf16 activations; weight transform runs once per checkpoint.
+    tparams = jax.jit(lambda p: transform_params_hybrid(p, jnp.bfloat16))(params)
+    jax.block_until_ready(tparams)
 
     @jax.jit
-    def fwd(params, x):
+    def fwd(tp, x):
         # residual-style feedback keeps iterations data-dependent so the
         # timing loop cannot overlap or be skipped by an async runtime
-        return model.apply(params, x) * 1e-3 + x
+        return unet_hybrid_forward(tp, x) * 1e-3 + x
 
     # warmup + compile (force a host readback — block_until_ready alone is
     # not reliable through remote-device tunnels)
-    y = fwd(params, x)
+    y = fwd(tparams, x)
     float(jnp.sum(y))
 
     n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        x = fwd(params, x)
+        x = fwd(tparams, x)
     float(jnp.sum(x))  # forces the whole chain
     dt = (time.perf_counter() - t0) / n_iter
 

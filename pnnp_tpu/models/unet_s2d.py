@@ -282,3 +282,124 @@ def unet_s2d_forward(params: dict, x: jnp.ndarray, res: bool = False,
 def make_s2d_eval_fn(res: bool = False, dtype: Any = jnp.bfloat16):
     """Jittable (params, x) -> denoised, for use as the fast eval path."""
     return partial(unet_s2d_forward, res=res, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid fast path: dense-s2d 3x3 at level 1 only.
+#
+# Measured (v5e, bf16, full SID frame): XLA's 3x3 convs at 32 output channels
+# run at 8-14 TFLOP/s (both matmul dims padded to the 128-lane MXU), so level
+# 1 costs ~29 ms of the ~49 ms frame. In the s2d representation a 3x3 conv
+# becomes a 3x3 conv over [H/2, W/2, 4C] with a block-structured kernel
+# (structural zeros, 4x raw FLOPs) — but at 128+ channels it runs at ~108
+# TFLOP/s, ~3x faster end-to-end, and composes with NO per-layer slicing:
+# output group offsets are absorbed by the kernel index map. Deeper levels
+# already have >=64 channels where the direct conv is acceptable.
+# ---------------------------------------------------------------------------
+
+
+def transform_conv3_dense(k3: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, C, D] -> dense s2d-form [3, 3, 4C, 4D] (structural zeros).
+
+    Entry rule per spatial dim: tap p and groups (a_in, a_out) carry the
+    original tap ``dy = 2p + a_in - a_out`` when |dy| <= 1.
+    """
+    C, D = k3.shape[2], k3.shape[3]
+    k_out = jnp.zeros((3, 3, 4 * C, 4 * D), k3.dtype)
+    for p in (-1, 0, 1):
+        for q in (-1, 0, 1):
+            for a_i in (0, 1):
+                for a_w in (0, 1):
+                    for o_i in (0, 1):
+                        for o_w in (0, 1):
+                            dy = 2 * p + a_i - o_i
+                            dx = 2 * q + a_w - o_w
+                            if abs(dy) <= 1 and abs(dx) <= 1:
+                                gi = 2 * a_i + a_w
+                                go = 2 * o_i + o_w
+                                k_out = k_out.at[
+                                    p + 1, q + 1,
+                                    gi * C : (gi + 1) * C,
+                                    go * D : (go + 1) * D,
+                                ].set(k3[dy + 1, dx + 1])
+    return k_out
+
+
+def transform_params_hybrid(params: dict, dtype: Any = jnp.bfloat16) -> dict:
+    """Pre-transform for :func:`unet_hybrid_forward`: L1 convs to dense-s2d
+    form, upv9 to its 1x1 (group-matmul) form, the rest cast to ``dtype``
+    unchanged."""
+    out = {}
+    for name, leaf in params.items():
+        k = jnp.asarray(leaf["kernel"], dtype)
+        b = jnp.asarray(leaf["bias"], dtype) if "bias" in leaf else None
+        if name in ("conv1_1", "conv1_2", "conv9_1", "conv9_2"):
+            out[name] = {"kernel": transform_conv3_dense(k), "bias": jnp.tile(b, 4)}
+        elif name == "upv9":
+            w1 = jnp.concatenate(
+                [k[1 - a_h, 1 - a_w] for a_h in (0, 1) for a_w in (0, 1)], axis=-1
+            )
+            out[name] = {"kernel": w1, "bias": jnp.tile(b, 4)}
+        else:
+            out[name] = {"kernel": k, "bias": b}
+    return out
+
+
+def unet_hybrid_forward(tparams: dict, x: jnp.ndarray, res: bool = False,
+                        dtype: Any = jnp.bfloat16) -> jnp.ndarray:
+    """UNetSeeInDark forward with the dense-s2d level-1 fast path.
+
+    ``tparams`` from :func:`transform_params_hybrid`; exact-equivalent to the
+    standard model (tests/test_unet_s2d.py)."""
+    k = lambda name: tparams[name]["kernel"]
+    b = lambda name: tparams[name]["bias"]
+    xl = x.astype(dtype)
+
+    conv = lambda t, name: _lrelu(
+        jax.lax.conv_general_dilated(
+            t, k(name), (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        + b(name)
+    )
+    # ConvTranspose stays native for upv6-8: the 1x1+depth-to-space variant
+    # measures faster in isolation but slower composed (relayouts defeat XLA
+    # fusion). upv9 feeds the s2d level-1 decoder and skips the d2s entirely.
+    up = lambda t, name: jax.lax.conv_transpose(
+        t, k(name), (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b(name)
+    pool = lambda t: jax.lax.reduce_window(
+        t, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+    # --- level 1 encoder in dense-s2d form ---
+    g1 = s2d(xl)                                  # [H/2, W/2, 16]
+    c1g = conv(conv(g1, "conv1_1"), "conv1_2")    # [H/2, W/2, 128]
+    p1 = _group_max(c1g)                          # == pool1 output [H/2, W/2, 32]
+
+    # --- levels 2..5 directly ---
+    c2 = conv(conv(p1, "conv2_1"), "conv2_2")
+    c3 = conv(conv(pool(c2), "conv3_1"), "conv3_2")
+    c4 = conv(conv(pool(c3), "conv4_1"), "conv4_2")
+    c5 = conv(conv(pool(c4), "conv5_1"), "conv5_2")
+
+    u6 = jnp.concatenate([up(c5, "upv6"), c4], axis=-1)
+    c6 = conv(conv(u6, "conv6_1"), "conv6_2")
+    u7 = jnp.concatenate([up(c6, "upv7"), c3], axis=-1)
+    c7 = conv(conv(u7, "conv7_1"), "conv7_2")
+    u8 = jnp.concatenate([up(c7, "upv8"), c2], axis=-1)
+    c8 = conv(conv(u8, "conv8_1"), "conv8_2")     # [H/2, W/2, 64]
+
+    # --- level 1 decoder in dense-s2d form ---
+    g_up = jnp.einsum("nhwc,cd->nhwd", c8, k("upv9")) + b("upv9")  # [H/2, 128]
+    u9g = _group_concat(g_up, c1g)                # [H/2, 256]
+    c9g = conv(conv(u9g, "conv9_1"), "conv9_2")   # [H/2, 128]
+
+    kh = k("conv10_1")[0, 0]
+    n_, h_, w_, c4_ = c9g.shape
+    head = jnp.einsum(
+        "nhwgc,cd->nhwgd", c9g.reshape(n_, h_, w_, 4, c4_ // 4), kh
+    ) + b("conv10_1")
+    out = d2s(head.reshape(n_, h_, w_, -1))
+    if res:
+        out = out + xl
+    return out.astype(jnp.float32)
