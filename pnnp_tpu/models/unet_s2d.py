@@ -382,17 +382,45 @@ def unet_hybrid_forward(tparams: dict, x: jnp.ndarray, res: bool = False,
     c4 = conv(conv(pool(c3), "conv4_1"), "conv4_2")
     c5 = conv(conv(pool(c4), "conv5_1"), "conv5_2")
 
-    u6 = jnp.concatenate([up(c5, "upv6"), c4], axis=-1)
-    c6 = conv(conv(u6, "conv6_1"), "conv6_2")
-    u7 = jnp.concatenate([up(c6, "upv7"), c3], axis=-1)
-    c7 = conv(conv(u7, "conv7_1"), "conv7_2")
-    u8 = jnp.concatenate([up(c7, "upv8"), c2], axis=-1)
-    c8 = conv(conv(u8, "conv8_1"), "conv8_2")     # [H/2, W/2, 64]
+    # Decoder concat convs as two half-input convs summed (skips the channel
+    # concat and runs each half at a faster conv shape).
+    def dec_conv(up_t, skip, name):
+        kk = k(name)
+        cu = up_t.shape[-1]
+        h = jax.lax.conv_general_dilated(
+            up_t, kk[:, :, :cu], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jax.lax.conv_general_dilated(
+            skip, kk[:, :, cu:], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return _lrelu(h + b(name))
+
+    c6 = conv(dec_conv(up(c5, "upv6"), c4, "conv6_1"), "conv6_2")
+    c7 = conv(dec_conv(up(c6, "upv7"), c3, "conv7_1"), "conv7_2")
+    c8 = conv(dec_conv(up(c7, "upv8"), c2, "conv8_1"), "conv8_2")  # [H/2, W/2, 64]
 
     # --- level 1 decoder in dense-s2d form ---
     g_up = jnp.einsum("nhwc,cd->nhwd", c8, k("upv9")) + b("upv9")  # [H/2, 128]
-    u9g = _group_concat(g_up, c1g)                # [H/2, 256]
-    c9g = conv(conv(u9g, "conv9_1"), "conv9_2")   # [H/2, 128]
+    # conv9_1 over concat(up, skip) as two half-input convs summed: avoids the
+    # group-interleaved concat AND runs each conv at the fast 128-in shape
+    # (measured: 8.6 vs 13.0 ms for the pair).
+    k91 = k("conv9_1")  # dense s2d kernel [3, 3, 4*(Cu+Cs), 4*D]
+    cu = g_up.shape[-1] // 4   # per-group up channels
+    cs = c1g.shape[-1] // 4    # per-group skip channels
+    rows = jnp.arange(k91.shape[2]).reshape(4, cu + cs)
+    idx_up = rows[:, :cu].reshape(-1)
+    idx_skip = rows[:, cu:].reshape(-1)
+    h9 = _lrelu(
+        jax.lax.conv_general_dilated(
+            g_up, k91[:, :, idx_up], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        + jax.lax.conv_general_dilated(
+            c1g, k91[:, :, idx_skip], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        + b("conv9_1")
+    )
+    c9g = conv(h9, "conv9_2")                     # [H/2, 128]
 
     kh = k("conv10_1")[0, 0]
     n_, h_, w_, c4_ = c9g.shape
