@@ -1,0 +1,96 @@
+"""Numerical parity of the eval pipeline + multi-device consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.ndimage import uniform_filter
+
+from pnnp_tpu.models import UNetSeeInDark
+from pnnp_tpu.ops import illuminance_correct, psnr, ssim
+from pnnp_tpu.train import create_train_state, make_eval_step
+
+
+def oracle_ssim(x, y, data_range=255.0, win=7):
+    n = win * win
+    cov_norm = n / (n - 1)
+    total = 0.0
+    for c in range(x.shape[-1]):
+        xc, yc = x[..., c].astype(np.float64), y[..., c].astype(np.float64)
+        f = lambda im: uniform_filter(im, size=win)
+        ux, uy = f(xc), f(yc)
+        vx = cov_norm * (f(xc * xc) - ux * ux)
+        vy = cov_norm * (f(yc * yc) - uy * uy)
+        vxy = cov_norm * (f(xc * yc) - ux * uy)
+        c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+        pad = (win - 1) // 2
+        total += s[pad:-pad, pad:-pad].mean()
+    return total / x.shape[-1]
+
+
+def test_eval_pipeline_matches_numpy_oracle(rng):
+    """pad-to-16 -> UNet -> clamp -> illuminance correct -> PSNR/SSIM, device
+    vs a NumPy re-derivation (the reference's eval semantics,
+    trainer_SID.py:221-248)."""
+    model = UNetSeeInDark(nf=4)
+    state = create_train_state(jax.random.key(0), model, jnp.zeros((1, 16, 16, 4)))
+    es = make_eval_step(model)
+
+    lr = rng.uniform(0, 1, (1, 30, 44, 4)).astype(np.float32)
+    hr = rng.uniform(0, 1, (1, 30, 44, 4)).astype(np.float32)
+
+    dn = es(state, jnp.asarray(lr))
+    dn = jnp.clip(dn, 0, 1)
+    dn = illuminance_correct(dn, jnp.asarray(hr))
+    p = float(psnr(dn[0] * 255.0, jnp.asarray(hr[0]) * 255.0))
+    s = float(ssim(dn[0] * 255.0, jnp.asarray(hr[0]) * 255.0))
+
+    # numpy oracle of the same post-processing on the same network output
+    dn_np = np.asarray(es(state, jnp.asarray(lr)))
+    dn_np = np.clip(dn_np, 0, 1)
+    mask = hr[0] != 1
+    num = np.dot(dn_np[0][mask], hr[0][mask])
+    den = np.dot(dn_np[0][mask], dn_np[0][mask])
+    corr = num / den * dn_np[0]
+    mse = np.mean((corr * 255.0 - hr[0] * 255.0) ** 2)
+    p_ref = 10 * np.log10(255.0**2 / mse)
+    s_ref = oracle_ssim(corr * 255.0, hr[0] * 255.0)
+
+    assert abs(p - p_ref) < 1e-3, (p, p_ref)
+    assert abs(s - s_ref) < 1e-4, (s, s_ref)
+
+
+@pytest.mark.slow
+def test_sharded_step_matches_single_device():
+    """Data-parallel train step over the 8-device mesh computes the same
+    update as single-device (same key, same batch)."""
+    from pnnp_tpu.parallel import make_mesh, shard_batch
+    from pnnp_tpu.train import build_lr_schedule, make_train_step, make_raw_synth
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model = UNetSeeInDark(nf=4)
+    lr_schedule = build_lr_schedule(
+        {"lr_scheduler": "fixed", "learning_rate": 1e-3, "stop_epoch": 10, "last_epoch": 0}
+    )
+    synth = make_raw_synth("SonyA7S2", "p", ori=False, clip=False)
+    step = make_train_step(model, lr_schedule, synth, clip_mode=2, donate=False)
+
+    hr = np.random.default_rng(0).uniform(0, 0.05, (8, 16, 16, 4)).astype(np.float32)
+    batch = {"hr": jnp.asarray(hr)}
+    key = jax.random.key(42)
+
+    state1 = create_train_state(jax.random.key(0), model, jnp.zeros((1, 16, 16, 4)))
+    state1, m1 = step(state1, batch, key, 1)
+
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    state2 = create_train_state(jax.random.key(0), model, jnp.zeros((1, 16, 16, 4)))
+    state2 = jax.device_put(state2, NamedSharding(mesh, P()))
+    sharded = shard_batch(mesh, {"hr": hr})
+    state2, m2 = step(state2, sharded, key, 1)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    a = jax.tree.leaves(state1.params)
+    b = jax.tree.leaves(state2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6)
