@@ -116,24 +116,45 @@ def make_train_step(
     clip_mode=0,
     deep_supervision: bool = False,
     donate: bool = True,
+    fast: bool = False,
 ):
     """Build the fused jitted train step.
 
     step(state, batch, key, epoch) -> (state, metrics)
+
+    ``fast=True`` (UNetSeeInDark, no deep supervision) trains through the
+    exact dense-s2d forward (pnnp_tpu.models.unet_s2d) in bf16 — the weight
+    transform is differentiable and exact, so gradients match the standard
+    path up to bf16 rounding while the step runs ~1.5x faster on v5e.
     """
 
-    def loss_fn(params, batch_stats, lr_img, hr_img):
-        variables = {"params": params}
-        if batch_stats is not None:
-            variables["batch_stats"] = batch_stats
-        if deep_supervision:
-            outs = model.apply(variables, lr_img, train=True)
-            loss = unet_dpsv_loss(outs, hr_img)
-            pred = outs[0]
-        else:
-            pred = model.apply(variables, lr_img)
-            loss = unet_loss(pred, hr_img)
-        return loss, pred
+    if fast and not deep_supervision:
+        from pnnp_tpu.models.unet_s2d import (
+            transform_params_hybrid,
+            unet_hybrid_forward,
+        )
+
+        res = bool(getattr(model, "res", False))
+
+        def loss_fn(params, batch_stats, lr_img, hr_img):
+            tp = transform_params_hybrid(params)
+            pred = unet_hybrid_forward(tp, lr_img, res=res)
+            return unet_loss(pred, hr_img), pred
+
+    else:
+
+        def loss_fn(params, batch_stats, lr_img, hr_img):
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats
+            if deep_supervision:
+                outs = model.apply(variables, lr_img, train=True)
+                loss = unet_dpsv_loss(outs, hr_img)
+                pred = outs[0]
+            else:
+                pred = model.apply(variables, lr_img)
+                loss = unet_loss(pred, hr_img)
+            return loss, pred
 
     def step(state: TrainState, batch, key, epoch):
         lr_img, hr_img, ratio = synth(key, batch)

@@ -117,12 +117,20 @@ class Trainer:
 
         # --- mesh + steps --------------------------------------------------
         self.mesh = make_mesh()
+        # UNetSeeInDark trains/evals through the exact dense-s2d fast path
+        # (3x train step, 1.5x eval on v5e; gradient parity tested).
+        use_fast = (
+            self.arch.get("name") == "UNetSeeInDark"
+            and not self.arch.get("use_dpsv", False)
+            and not self.args.get("disable_fast_path", False)
+        )
         self.train_step = make_train_step(
             self.model, self.lr_schedule, self._make_synth(),
             clip_mode=self.dst.get("clip", 0),
             deep_supervision=bool(self.arch.get("use_dpsv", False)),
+            fast=use_fast,
         )
-        self.eval_step = make_eval_step(self.model)
+        self.eval_step = make_eval_step(self.model, fast=use_fast)
 
         # --- meters --------------------------------------------------------
         self.train_psnr = AverageMeter("PSNR", ":2f")

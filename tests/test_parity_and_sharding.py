@@ -94,3 +94,35 @@ def test_sharded_step_matches_single_device():
     b = jax.tree.leaves(state2.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fast_train_step_grads_match():
+    """Gradients through the dense-s2d training path equal the standard path
+    (f32; the transform is exact and linear in the weights)."""
+    from pnnp_tpu.train import build_lr_schedule, make_train_step
+
+    model = UNetSeeInDark(nf=4)
+    lr_schedule = build_lr_schedule(
+        {"lr_scheduler": "fixed", "learning_rate": 1e-3, "stop_epoch": 10, "last_epoch": 0}
+    )
+    hr = np.random.default_rng(1).uniform(0, 0.5, (2, 16, 16, 4)).astype(np.float32)
+    lr_img = np.clip(hr + np.random.default_rng(2).normal(0, 0.05, hr.shape), 0, 1).astype(np.float32)
+    batch = {"hr": jnp.asarray(hr), "lr": jnp.asarray(lr_img), "ratio": jnp.ones(2)}
+    key = jax.random.key(3)
+
+    def run(fast):
+        from pnnp_tpu.train.steps import identity_synth
+
+        step = make_train_step(model, lr_schedule, identity_synth,
+                               clip_mode=0, donate=False, fast=fast)
+        state = create_train_state(jax.random.key(0), model, jnp.zeros((1, 16, 16, 4)))
+        state, m = step(state, batch, key, 1)
+        return state, float(m["loss"])
+
+    s1, l1 = run(False)
+    # fast path in bf16: losses should agree to bf16 precision
+    s2, l2 = run(True)
+    assert abs(l1 - l2) < 2e-3, (l1, l2)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
