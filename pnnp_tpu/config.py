@@ -12,9 +12,7 @@ the two embedded micro-DSLs (reference: SURVEY.md §5 config system):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Any
-
+from dataclasses import dataclass
 import yaml
 
 COMMAND_FLAGS = (

@@ -16,7 +16,6 @@ import pickle
 
 import numpy as np
 
-from pnnp_tpu.ops.bayer import bayer2rggb, rggb2bayer  # noqa: F401  (rggb helpers)
 
 
 class SonyDarkShading:

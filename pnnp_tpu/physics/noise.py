@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from pnnp_tpu.ops.tukey import tukeylambda_sample
-from pnnp_tpu.physics.sampling import params_at_iso_regression, sony_k_from_iso
+from pnnp_tpu.physics.sampling import params_at_iso_regression
 from pnnp_tpu.physics import calibration as calib
 
 

@@ -25,8 +25,7 @@ from pnnp_tpu.config import load_runfile
 from pnnp_tpu.data import build_dataset, DataLoader
 from pnnp_tpu.models import build_model, PixelWiseISOProxy, NoiseFlow
 from pnnp_tpu.ops import illuminance_correct, psnr as psnr_fn, ssim as ssim_fn, fast_isp
-from pnnp_tpu.parallel import make_mesh, shard_batch, replicate
-from pnnp_tpu.physics.calibration import HALF_CLIP
+from pnnp_tpu.parallel import make_mesh
 from pnnp_tpu.train import (
     CheckpointManager,
     build_lr_schedule,
@@ -406,6 +405,25 @@ class Trainer:
         plt.close(fig)
 
     # ------------------------------------------------------------------
+    def test(self, out_dir: Optional[str] = None):
+        """Denoise the test split and save outputs as .npy (+ optional JPG
+        previews), the reference's ``test`` mode (trainer_SID.py:362-420)."""
+        dst = self.dst_test or self.dst_eval
+        assert dst is not None, "no dst_test/dst_eval block in runfile"
+        dataset = build_dataset(dict(dst, mode="eval"), seed=self.seed)
+        out_dir = out_dir or os.path.join(self.sample_dir, "test")
+        os.makedirs(out_dir, exist_ok=True)
+        loader = DataLoader(dataset, batch_size=1, shuffle=False, num_workers=0)
+        for k, batch in enumerate(loader):
+            lr = jnp.asarray(batch["lr"])
+            dn = jnp.clip(self.eval_step(self.state, lr), 0, 1)
+            name = batch["name"][0] if isinstance(batch["name"], list) else str(batch["name"])
+            np.save(os.path.join(out_dir, f"{name}_dn.npy"), np.asarray(dn[0]))
+            if self.save_plot:
+                self._plot_sample(jnp.clip(lr, 0, 1)[0], dn[0],
+                                  jnp.asarray(batch["hr"])[0], batch, name, -1)
+            log(f"[test {k + 1}/{len(loader)}] saved {name}")
+
     def predict(self, raw_mosaic: np.ndarray, patch_size: int = 512, base: int = 64):
         """Memory-bounded tiled full-frame inference
         (reference: trainer_SID.py:345-360)."""
@@ -424,6 +442,8 @@ def main(argv=None):
     mode = trainer.mode
     if mode in ("train", "trainonly"):
         trainer.train()
+    if mode == "test":
+        trainer.test()
     if mode in ("eval", "evaltest"):
         ds = trainer.dataset_eval
         if hasattr(ds, "ratio_list"):  # ELD-style dgain sweep (trainer_SID.py:538-549)

@@ -14,13 +14,11 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from pnnp_tpu.config import load_runfile
 from pnnp_tpu.data import build_dataset, DataLoader
