@@ -41,16 +41,19 @@ class SignalDependantISO(Bijector):
 
     def setup(self):
         self.legal_iso = jnp.asarray(LEGAL_ISO)
-        # Frozen per-ISO modifiers (requires_grad=False in the reference).
-        self.cam_param = self.variable(
-            "flow_const", "cam_param", lambda: jnp.zeros((len(LEGAL_ISO), 3))
+        # Frozen per-ISO modifiers (requires_grad=False in the reference):
+        # a param with stop_gradient on use, so no extra variable collection.
+        self.cam_param = self.param(
+            "cam_param", lambda rng: jnp.zeros((len(LEGAL_ISO), 3))
         )
         self.gain = self.param("gain", lambda rng: jnp.float32(-6.0))
         self.beta1 = self.param("beta1", lambda rng: jnp.float32(-5.0))
         self.beta2 = self.param("beta2", lambda rng: jnp.float32(-4.0))
 
     def _scale(self, clean, iso):
-        cp = _interp_iso(self.legal_iso, self.cam_param.value, iso)  # [..., 3]
+        import jax as _jax
+
+        cp = _interp_iso(self.legal_iso, _jax.lax.stop_gradient(self.cam_param), iso)
         beta1 = jnp.exp(self.beta1 * cp[..., 0])
         beta2 = jnp.exp(self.beta2 * cp[..., 1])
         gain = jnp.exp(self.gain * cp[..., 2]) * iso

@@ -121,6 +121,8 @@ def kl_div_norm_device(p_data: jnp.ndarray, q_data: jnp.ndarray,
     Same quantization contract as :func:`kl_div_norm`; use inside jitted eval
     loops so noise-model sanity checks don't bounce to the host.
     """
+    wp = int(wp)
+
     def quantize(x):
         x = jnp.where(jnp.min(p_data) < 0, x + bl, x)
         x = jnp.round(x)

@@ -1,0 +1,163 @@
+"""LRID phone datasets on a synthetic fixture + noise-model trainer smoke."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from pnnp_tpu.data.phone import IMX686Dataset, IMX686RawDataset
+
+
+def make_lrid_fixture(tmp_path, n_scenes=4, H=32, W=48, ratios=(1, 2, 4)):
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / "infos", exist_ok=True)
+    gt_infos = []
+    short_infos = {r: [] for r in ratios}
+    for s in range(n_scenes):
+        gt_path = str(tmp_path / f"scene{s:03d}_gt.npy")
+        np.save(gt_path, rng.integers(64, 1023, (H, W)).astype(np.float32))
+        gt_infos.append({
+            "name": f"scene{s:03d}", "data": gt_path, "ISO": 6400,
+            "ExposureTime": 0.03,
+            "wb": np.array([2.0, 1.0, 1.8, 1.0], np.float32),
+            "ccm": np.eye(3, dtype=np.float32),
+        })
+        for r in ratios:
+            paths = []
+            metas = []
+            for j in range(2):
+                p = str(tmp_path / f"scene{s:03d}_x{r}_{j}.npy")
+                np.save(p, rng.integers(50, 400, (H, W)).astype(np.float32))
+                paths.append(p)
+                metas.append({"ExposureTime": 0.03 / r})
+            short_infos[r].append({"data": paths, "metadata": metas})
+    with open(tmp_path / "infos" / "indoor_x5_GT_align_ours.info", "wb") as f:
+        pickle.dump(gt_infos, f)
+    with open(tmp_path / "infos" / "indoor_x5_short.info", "wb") as f:
+        pickle.dump(short_infos, f)
+
+
+def phone_args(tmp_path, mode="train", **kw):
+    base = dict(
+        dataset="IMX686_Dataset", mode=mode, dstname="indoor_x5",
+        H=32, W=48, patch_size=8, crop_per_image=2, croptype="random_crop",
+        command="alldg", noise_code="p", wp=1023, bl=64, ori=True, clip=False,
+        ratio_list=[1, 2, 4], infos_dir=str(tmp_path / "infos"),
+    )
+    base.update(kw)
+    return base
+
+
+def test_imx686_paired_dataset(tmp_path):
+    make_lrid_fixture(tmp_path)
+    ds = IMX686Dataset(phone_args(tmp_path))
+    # train + alldg: length = scenes(after eval split) x ratios
+    n_train_scenes = len(ds.id_remap)
+    assert len(ds) == n_train_scenes * 3
+    s0 = ds[0]
+    assert s0["hr"].shape == (2, 8, 8, 4)
+    assert s0["lr"].shape == (2, 8, 8, 4)
+    # alldg walks the ratio ladder with the scene index
+    dgains = {float(ds[i]["ratio"][0]) for i in range(len(ds))}
+    assert dgains == {1.0, 2.0, 4.0}
+
+
+def test_imx686_eval_split_and_fast_eval(tmp_path):
+    make_lrid_fixture(tmp_path, n_scenes=6)
+    # eval split uses the fixed eval_ids table filtered to available scenes
+    ds = IMX686Dataset(phone_args(tmp_path, mode="eval"), seed=7)
+    ds._data_split(eval_ids=[1, 3])
+    ds.recheck_length()
+    assert len(ds) == 2
+    ds.change_eval_ratio(2)
+    s = ds[0]
+    assert s["hr"].shape == (1, 16, 24, 4)
+    assert float(s["ratio"][0]) == 2.0
+
+
+def test_imx686_raw_dataset_for_synth(tmp_path):
+    make_lrid_fixture(tmp_path)
+    ds = IMX686RawDataset(phone_args(tmp_path, dataset="IMX686_Raw_Dataset"))
+    s = ds[0]
+    np.testing.assert_array_equal(s["hr"], s["lr"])
+    assert s["hr"].min() >= 0 and s["hr"].max() <= 1
+
+
+@pytest.mark.slow
+def test_nf_trainer_smoke(tmp_path, monkeypatch):
+    """NoiseFlow trainer: a few NLL steps on synthetic pairs decrease NLL."""
+    monkeypatch.chdir(tmp_path)
+    from tests.test_train_data import make_sid_fixture
+
+    make_sid_fixture(tmp_path, n_scenes=3, H=32, W=48)
+    runfile = {
+        "mode": "train",
+        "checkpoint": "saved_model/NF",
+        "fast_ckpt": "checkpoints/NF",
+        "model_name": "TEST_NoiseFlow",
+        "num_workers": 0,
+        "dst": {
+            "dataset": "SID_Dataset", "dstname": "SID", "command": "",
+            "camera_type": "SonyA7S2", "noise_code": "pgrq", "patch_size": 8,
+            "H": 32, "W": 48, "crop_per_image": 2, "croptype": "random_crop",
+            "wp": 16383, "bl": 512, "ori": False, "clip": False,
+            "infos_dir": str(tmp_path / "infos"),
+        },
+        "arch": {"name": "NoiseFlow", "x_shape": [4, 8, 8],
+                 "arch": "sdn|unc|giso|unc", "flow_permutation": 1},
+        "hyper": {"lr_scheduler": "fixed", "learning_rate": 1e-3,
+                  "batch_size": 1, "stop_epoch": 3, "plot_freq": 3,
+                  "save_freq": 1, "last_epoch": 0},
+    }
+    runfile["dst_train"] = dict(runfile["dst"], mode="train")
+    with open(tmp_path / "nf.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+
+    from pnnp_tpu.trainer_nf import NFTrainer
+
+    t = NFTrainer(str(tmp_path / "nf.yml"), mode="train")
+    t.train()
+    assert np.isfinite(t.nll_meter.avg)
+    assert os.path.exists(t.ckpt.last_path())
+
+
+@pytest.mark.slow
+def test_proxy_trainer_smoke(tmp_path, monkeypatch):
+    """pw_iso_2stage proxy: NLL training runs and KLD check is finite."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    import jax.numpy as jnp
+    from tests.test_train_data import make_sid_fixture
+
+    make_sid_fixture(tmp_path, n_scenes=3, H=32, W=48)
+    runfile = {
+        "mode": "train", "checkpoint": "saved_model/P", "fast_ckpt": "checkpoints/P",
+        "model_name": "TEST_Proxy", "num_workers": 0,
+        "dst": {
+            "dataset": "SID_Dataset", "dstname": "SID", "command": "",
+            "camera_type": "SonyA7S2", "noise_code": "pr", "patch_size": 8,
+            "H": 32, "W": 48, "crop_per_image": 2, "croptype": "random_crop",
+            "wp": 16383, "bl": 512, "ori": False, "clip": False,
+            "infos_dir": str(tmp_path / "infos"),
+        },
+        "arch": {"name": "pw_iso_2stage", "nf": 8, "nb": 2, "d": 64,
+                 "mode": "2stage+iso"},
+        "hyper": {"lr_scheduler": "fixed", "learning_rate": 1e-3,
+                  "batch_size": 1, "stop_epoch": 2, "plot_freq": 2,
+                  "save_freq": 1, "last_epoch": 0},
+    }
+    runfile["dst_train"] = dict(runfile["dst"], mode="train")
+    with open(tmp_path / "proxy.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+
+    from pnnp_tpu.trainer_nf import NFTrainer
+
+    t = NFTrainer(str(tmp_path / "proxy.yml"), mode="train")
+    t.train()
+    assert np.isfinite(t.nll_meter.avg)
+    # sampling works post-training
+    clean = jnp.full((1, 8, 8, 4), 0.01)
+    noise = t.sample_noise(jax.random.key(0), clean, jnp.full((1,), 1600.0))
+    assert np.isfinite(np.asarray(noise)).all()
