@@ -93,9 +93,10 @@ def spatial_eval(mesh: Mesh, apply_fn, image: jnp.ndarray, halo: int = 32):
         from_right = jax.lax.ppermute(
             left_edge, axis, [(i, (i - 1) % nsp) for i in range(nsp)]
         )
-        # First/last shard: reflect own border instead of wrapped neighbour.
-        reflect_l = img[:, :, :halo, :][:, :, ::-1, :]
-        reflect_r = img[:, :, -halo:, :][:, :, ::-1, :]
+        # First/last shard: reflect own border instead of wrapped neighbour
+        # (edge-excluding reflect, matching jnp.pad mode='reflect').
+        reflect_l = img[:, :, 1 : halo + 1, :][:, :, ::-1, :]
+        reflect_r = img[:, :, -halo - 1 : -1, :][:, :, ::-1, :]
         from_left = jnp.where(idx == 0, reflect_l, from_left)
         from_right = jnp.where(idx == nsp - 1, reflect_r, from_right)
         padded = jnp.concatenate([from_left, img, from_right], axis=2)
