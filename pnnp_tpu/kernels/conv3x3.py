@@ -28,41 +28,49 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x00, x01, x10, x11, w_ref, b_ref, o_ref, shift_ref, *,
-            tile_h, chunk_w, C, Cout, negative_slope, apply_act):
+            tile_h, sub_h, chunk_w, C, Cout, negative_slope, apply_act):
     top = jnp.concatenate([x00[0], x01[0][:, :2]], axis=1)        # [th,  cw+2, C]
     bot = jnp.concatenate([x10[0][:2], x11[0][:2, :2]], axis=1)   # [2,   cw+2, C]
     window = jnp.concatenate([top, bot], axis=0)                  # [th+2, cw+2, C]
 
     # Realign the kx-shifted windows to sublane offset 0 via scratch stores
-    # (Mosaic requires equal non-concat-dim offsets for vector concatenation).
+    # (Mosaic requires equal non-concat-dim offsets for vector concatenation);
     # ky shifts live on the untiled major dim and are offset-free.
     for kx in range(3):
         shift_ref[kx] = window[:, kx : kx + chunk_w, :]
-    cols = jnp.concatenate(
-        [shift_ref[kx][ky : ky + tile_h] for ky in range(3) for kx in range(3)],
-        axis=-1,
-    )
 
-    acc = jax.lax.dot_general(
-        cols.reshape(tile_h * chunk_w, 9 * C),
-        w_ref[:, :],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc = acc + b_ref[0, :].astype(jnp.float32)
-    if apply_act:
-        acc = jnp.where(acc >= 0, acc, acc * negative_slope)
-    o_ref[0] = acc.reshape(tile_h, chunk_w, Cout).astype(o_ref.dtype)
+    bias = b_ref[0, :].astype(jnp.float32)
+    # Sub-row loop: keeps the im2col value small while the grid tile stays
+    # large enough to amortize per-step overheads.
+    for r in range(tile_h // sub_h):
+        r0 = r * sub_h
+        cols = jnp.concatenate(
+            [shift_ref[kx][r0 + ky : r0 + ky + sub_h]
+             for ky in range(3) for kx in range(3)],
+            axis=-1,
+        )  # [sub_h, cw, 9C]
+        acc = jax.lax.dot_general(
+            cols.reshape(sub_h * chunk_w, 9 * C),
+            w_ref[:, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + bias
+        if apply_act:
+            acc = jnp.where(acc >= 0, acc, acc * negative_slope)
+        o_ref[0, r0 : r0 + sub_h] = acc.reshape(sub_h, chunk_w, Cout).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_h", "chunk_w", "negative_slope", "apply_act")
+    jax.jit,
+    static_argnames=("tile_h", "sub_h", "chunk_w", "negative_slope", "apply_act"),
 )
 def conv3x3_bias_act(
     x: jnp.ndarray,
     w: jnp.ndarray,
     b: jnp.ndarray,
-    tile_h: int = 8,
+    tile_h: int = 32,
+    sub_h: int = 8,
     chunk_w: int = 256,
     negative_slope: float = 0.2,
     apply_act: bool = True,
@@ -79,7 +87,7 @@ def conv3x3_bias_act(
     w2 = w.reshape(9 * C, Cout)
     b2 = b.reshape(1, Cout)
     kernel = functools.partial(
-        _kernel, tile_h=tile_h, chunk_w=chunk_w, C=C, Cout=Cout,
+        _kernel, tile_h=tile_h, sub_h=sub_h, chunk_w=chunk_w, C=C, Cout=Cout,
         negative_slope=negative_slope, apply_act=apply_act,
     )
     blk = lambda di, dj: pl.BlockSpec(
