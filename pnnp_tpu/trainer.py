@@ -222,12 +222,17 @@ class Trainer:
         if name in ("Mix_Dataset", "IMX686_Mix_Dataset"):
             return make_mix_synth(cam, self.dst.get("command", "augv5"), ori=ori)
         if name in ("SFRN_Dataset", "IMX686_SFRN_Raw_Dataset"):
-            # black-frame mode: shot noise only, on top of the real read-noise layer
+            # black-frame mode: shot-only synthesis (noise_code+'b') on the GT
+            # plus the real bias-frame read-noise layer, matching the
+            # amplification convention (reference: syn_datasets.py:465-579).
             raw = make_raw_synth(cam, code + "b", ori, clip)
 
             def synth(key, batch):
                 lr_shot, hr, ratio = raw(key, batch)
-                return lr_shot + batch["lr"] - hr, hr, ratio
+                read_layer = batch["lr"]
+                if not ori:
+                    read_layer = read_layer * ratio.reshape(-1, 1, 1, 1)
+                return lr_shot + read_layer, hr, ratio
 
             return synth
         return identity_synth

