@@ -117,6 +117,7 @@ def make_train_step(
     deep_supervision: bool = False,
     donate: bool = True,
     fast: bool = False,
+    remat: bool = False,
 ):
     """Build the fused jitted train step.
 
@@ -125,7 +126,11 @@ def make_train_step(
     ``fast=True`` (UNetSeeInDark, no deep supervision) trains through the
     exact dense-s2d forward (pnnp_tpu.models.unet_s2d) in bf16 — the weight
     transform is differentiable and exact, so gradients match the standard
-    path up to bf16 rounding while the step runs ~1.5x faster on v5e.
+    path up to bf16 rounding while the step runs ~3x faster on v5e.
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint``: activations are
+    rematerialized in the backward pass, trading ~30% FLOPs for roughly half
+    the activation HBM — use for large crops/batches.
     """
 
     if fast and not deep_supervision:
@@ -135,24 +140,35 @@ def make_train_step(
         )
 
         res = bool(getattr(model, "res", False))
+        fwd = unet_hybrid_forward
+        if remat:
+            fwd = jax.checkpoint(unet_hybrid_forward, static_argnums=(2,))
 
         def loss_fn(params, batch_stats, lr_img, hr_img):
             tp = transform_params_hybrid(params)
-            pred = unet_hybrid_forward(tp, lr_img, res=res)
+            pred = fwd(tp, lr_img, res)
             return unet_loss(pred, hr_img), pred
 
     else:
+
+        def apply_model(variables, lr_img):
+            if deep_supervision:
+                return model.apply(variables, lr_img, train=True)
+            return model.apply(variables, lr_img)
+
+        if remat:
+            apply_model = jax.checkpoint(apply_model)
 
         def loss_fn(params, batch_stats, lr_img, hr_img):
             variables = {"params": params}
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
             if deep_supervision:
-                outs = model.apply(variables, lr_img, train=True)
+                outs = apply_model(variables, lr_img)
                 loss = unet_dpsv_loss(outs, hr_img)
                 pred = outs[0]
             else:
-                pred = model.apply(variables, lr_img)
+                pred = apply_model(variables, lr_img)
                 loss = unet_loss(pred, hr_img)
             return loss, pred
 

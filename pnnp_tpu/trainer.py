@@ -450,20 +450,36 @@ def main(argv=None):
     if mode == "test":
         trainer.test()
     if mode in ("eval", "evaltest"):
+
+        def sweep(ds, ratios):
+            if hasattr(ds, "ratio_list") and hasattr(ds, "recheck_length"):
+                # ELD/LRID-style dgain sweep (trainer_SID.py:538-549)
+                for dgain in ratios:
+                    ds.ratio_list = [dgain]
+                    ds.recheck_length()
+                    log(f"Dgain: {dgain}")
+                    trainer.eval(-1)
+            elif hasattr(ds, "change_eval_ratio"):  # SID ratio splits
+                for ratio in ratios:
+                    ds.change_eval_ratio(ratio)
+                    log(f"Dgain: {ratio}")
+                    trainer.eval(-1)
+            else:
+                trainer.eval(-1)
+
         ds = trainer.dataset_eval
-        if hasattr(ds, "ratio_list"):  # ELD-style dgain sweep (trainer_SID.py:538-549)
-            for dgain in list(trainer.dst_eval.get("ratio_list", [])):
-                ds.ratio_list = [dgain]
-                ds.recheck_length()
-                log(f"Dgain: {dgain}")
-                trainer.eval(-1)
-        elif hasattr(ds, "change_eval_ratio"):  # SID ratio splits
-            for ratio in (100, 250, 300):
-                ds.change_eval_ratio(ratio)
-                log(f"Dgain: {ratio}")
-                trainer.eval(-1)
-        else:
-            trainer.eval(-1)
+        sweep(ds, list(trainer.dst_eval.get("ratio_list", [])) or [None])
+
+        # evaltest additionally sweeps the test split (reference: the SID
+        # x100/x250/x300 branch of trainer_SID.py:551-562).
+        if mode == "evaltest" and trainer.dst_test and (
+            trainer.dst_test.get("dataset") != trainer.dst_eval.get("dataset")
+        ):
+            trainer.dataset_eval = build_dataset(
+                dict(trainer.dst_test, mode="evaltest"), seed=trainer.seed
+            )
+            sweep(trainer.dataset_eval,
+                  list(trainer.dst_test.get("ratio_list", [100, 250, 300])))
 
 
 if __name__ == "__main__":
