@@ -226,7 +226,9 @@ def make_eval_step(model, fast: bool = False):
         cache = {}
 
         def step(state: TrainState, lr_img):
-            key = id(state.params)
+            # Key on the optimizer step count (id() can be reused after GC);
+            # params only change when the step advances.
+            key = int(state.step) if hasattr(state, "step") else id(state.params)
             if key not in cache:
                 cache.clear()
                 cache[key] = transform(state.params)
