@@ -5,16 +5,17 @@ the 128-lane MXU tile — a 32->32-channel 3x3 conv runs at ~13 TFLOP/s
 (measured v5e) because the implicit GEMM is [HW, 32p128] @ [32p128, 32p128].
 Building the im2col rows explicitly in VMEM keeps the *contraction* dense
 (9*C = 288 for C=32) so the same conv runs as [HW, 288] @ [288, C_out]; only
-the output dimension pays lane padding — 3-4x over XLA for the UNet's L1/L2
-convolutions, which dominate the denoiser wall-clock.
+the output dimension pays lane padding.
 
-Design (pure Blocked pipeline):
-  * grid (N, H-tiles, W-tiles); each step receives its tile plus the three
-    (down, right, down-right) neighbour blocks of the same padded input via
-    shifted index maps, assembling the (th+2, cw+2) halo window in VMEM;
-  * 9 shifted windows are realigned through a scratch (Mosaic concat needs
-    equal offsets), lane-concatenated into the im2col value, and one MXU
-    matmul per tile does the conv, with bias+LeakyReLU fused into the store.
+Design notes (the third iteration; see CLAUDE.md for the measured constraints):
+  * grid (N, H-tiles, W-tiles); four neighbour blocks of the same padded
+    input provide the +2 halo;
+  * the kx-shifted windows are assembled by *stores into scratch* (never by
+    value concatenation — Mosaic's scoped-vmem accounting of concat values is
+    what OOMs large tiles, and concat needs equal non-concat-dim offsets);
+  * a static sub-row loop walks the tile, lane-concatenating 9 small
+    offset-0 scratch reads per sub-tile and issuing one MXU matmul each,
+    with bias + LeakyReLU fused into the store.
 """
 
 from __future__ import annotations
@@ -29,23 +30,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x00, x01, x10, x11, w_ref, b_ref, o_ref, shift_ref, *,
             tile_h, sub_h, chunk_w, C, Cout, negative_slope, apply_act):
-    top = jnp.concatenate([x00[0], x01[0][:, :2]], axis=1)        # [th,  cw+2, C]
-    bot = jnp.concatenate([x10[0][:2], x11[0][:2, :2]], axis=1)   # [2,   cw+2, C]
-    window = jnp.concatenate([top, bot], axis=0)                  # [th+2, cw+2, C]
-
-    # Realign the kx-shifted windows to sublane offset 0 via scratch stores
-    # (Mosaic requires equal non-concat-dim offsets for vector concatenation);
-    # ky shifts live on the untiled major dim and are offset-free.
+    # Assemble the 3 kx-realigned halo windows [tile_h+2, chunk_w, C] purely
+    # with stores (destination offsets realign for free).
     for kx in range(3):
-        shift_ref[kx] = window[:, kx : kx + chunk_w, :]
+        if kx == 0:
+            shift_ref[kx, :tile_h] = x00[0]
+            shift_ref[kx, tile_h:] = x10[0, :2]
+        else:
+            shift_ref[kx, :tile_h, : chunk_w - kx] = x00[0][:, kx:]
+            shift_ref[kx, :tile_h, chunk_w - kx :] = x01[0][:, :kx]
+            shift_ref[kx, tile_h:, : chunk_w - kx] = x10[0, :2, kx:]
+            shift_ref[kx, tile_h:, chunk_w - kx :] = x11[0, :2, :kx]
 
     bias = b_ref[0, :].astype(jnp.float32)
-    # Sub-row loop: keeps the im2col value small while the grid tile stays
-    # large enough to amortize per-step overheads.
     for r in range(tile_h // sub_h):
         r0 = r * sub_h
         cols = jnp.concatenate(
-            [shift_ref[kx][r0 + ky : r0 + ky + sub_h]
+            [shift_ref[kx, r0 + ky : r0 + ky + sub_h]
              for ky in range(3) for kx in range(3)],
             axis=-1,
         )  # [sub_h, cw, 9C]
