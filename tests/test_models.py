@@ -161,3 +161,34 @@ def test_proxy_sample_and_loss():
 
     nll, aux = proxy.apply(variables, noise, iso, mode="loss")
     assert np.isfinite(float(nll))
+
+
+def test_torch_pth_checkpoint_roundtrip(tmp_path, small_unet):
+    """Save flax params as a torch .pth; load through load_any; outputs match."""
+    torch = pytest.importorskip("torch")
+    from pnnp_tpu.train.checkpoint import load_any
+
+    model, params = small_unet
+    state = flax_to_torch_state(params["params"])
+    pth = str(tmp_path / "model.pth")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()}, pth)
+
+    loaded = load_any(pth)
+    x = jnp.asarray(np.random.default_rng(5).uniform(0, 1, (1, 16, 16, 4)).astype(np.float32))
+    ref = model.apply(params, x)
+    out = model.apply({"params": jax.tree.map(jnp.asarray, loaded["params"])}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_eld_checkpoint_format(tmp_path, small_unet):
+    torch = pytest.importorskip("torch")
+    from pnnp_tpu.models import eld_checkpoint_to_flax
+
+    model, params = small_unet
+    state = flax_to_torch_state(params["params"])
+    pth = str(tmp_path / "eld.pt")
+    torch.save({"netG": {k: torch.from_numpy(np.ascontiguousarray(v))
+                          for k, v in state.items()}}, pth)
+    loaded = eld_checkpoint_to_flax(pth)
+    for a, b in zip(jax.tree.leaves(params["params"]), jax.tree.leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
