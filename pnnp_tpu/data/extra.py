@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-from pnnp_tpu.data.datasets import BaseRawDataset, _clip_pair
+from pnnp_tpu.data.datasets import BaseRawDataset
 from pnnp_tpu.data.io import dataload
 
 

@@ -9,7 +9,9 @@ sub-positions), so all convolutions have >=128 channels:
 
   * 3x3 conv on ``[H, W, C]``  ==  2x2 conv on the s2d tensor with a
     block-structured kernel + per-output-group shifted slices (exact; 1.78x
-    raw FLOPs, but ~3x faster wall-clock at these shapes)
+    raw FLOPs — kept as the reference construction; the production path below
+    uses the slice-free dense-3x3 form because XLA's lane-offset slices are
+    expensive composed)
   * 2x2 max-pool  ==  elementwise max over the 4 sub-position groups (VPU)
   * 2x2-stride-2 transposed conv  ==  a 1x1 conv producing all 4 sub-position
     groups at once (pure matmul)

@@ -14,7 +14,6 @@ Everything works unchanged on a single device (mesh of size 1).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -19,8 +19,7 @@ Each returns ``synth(key, batch) -> (lr, hr, ratio)`` with NHWC images.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
