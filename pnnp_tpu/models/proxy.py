@@ -43,6 +43,11 @@ class QuantileHead(nn.Module):
     nf: int = 16
     nb: int = 2
 
+    # Init/clip for the learned support half-width (ADU): starts at e^2~7.4
+    # (typical read-noise span) and stays in [e^-2, e^6] for stability.
+    LOG_SCALE_INIT = 2.0
+    LOG_SCALE_RANGE = (-2.0, 6.0)
+
     @nn.compact
     def __call__(self, iso_feat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """iso_feat [n, f] -> (knots [n, d+1], log_scale [n, 1])."""
@@ -51,7 +56,9 @@ class QuantileHead(nn.Module):
             h = Swish(nn.Dense(self.nf, name=f"fc{i}")(h))
         raw = nn.Dense(self.d + 1, name="bins")(h)  # d bin heights + 1 scale
         heights = nn.softmax(raw[..., : self.d], axis=-1)
-        log_scale = raw[..., self.d :]
+        log_scale = jnp.clip(
+            raw[..., self.d :] + self.LOG_SCALE_INIT, *self.LOG_SCALE_RANGE
+        )
         # Monotone knots on [-1, 1], scaled: v_k = scale * (2*cum_k - 1).
         cum = jnp.cumsum(heights, axis=-1)
         cum = jnp.concatenate([jnp.zeros_like(cum[..., :1]), cum], axis=-1)
@@ -77,8 +84,11 @@ class QuantileHead(nn.Module):
     def log_prob(knots: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """Exact log-density of the PWL-quantile distribution at x.
 
-        pdf = (1/d) / segment_width on each segment; -inf outside support is
-        clamped to the edge segments for stable training.
+        pdf = (1/d) / segment_width on each segment. Outside the support the
+        density decays with a smooth exponential tail (length scale = 10% of
+        the support half-width) — a bounded training signal that pulls the
+        learned support outward without the gradient blow-ups of a hard
+        penalty.
         """
         d = knots.shape[-1] - 1
 
@@ -87,7 +97,9 @@ class QuantileHead(nn.Module):
             width = jnp.maximum(kn[idx + 1] - kn[idx], 1e-8)
             inside = (xs >= kn[0]) & (xs <= kn[-1])
             logp = -jnp.log(d * width)
-            return jnp.where(inside, logp, logp - 1e3 * (jnp.abs(xs - jnp.clip(xs, kn[0], kn[-1]))))
+            half_width = jnp.maximum((kn[-1] - kn[0]) * 0.5, 1e-6)
+            excess = jnp.abs(xs - jnp.clip(xs, kn[0], kn[-1]))
+            return jnp.where(inside, logp, logp - excess / (0.1 * half_width))
 
         return jax.vmap(per_example)(knots, x.reshape(x.shape[0], -1)).reshape(x.shape)
 
@@ -167,7 +179,10 @@ class PixelWiseISOProxy(nn.Module):
             nll_row = -jnp.mean(QuantileHead.log_prob(knots_row, row_mean))
         else:
             nll_row = 0.0
-        return nll_px + 0.1 * nll_row, {"nll_px": nll_px, "nll_row": nll_row}
+        # Weight the row term by its dimensionality share (one draw per
+        # (row, channel) vs one per pixel).
+        w_row = 1.0 / max(noise.shape[2], 1)
+        return nll_px + w_row * nll_row, {"nll_px": nll_px, "nll_row": nll_row}
 
     def sample(self, clean, iso, rng=None):
         return self(clean, iso, rng=rng, mode="sample")
