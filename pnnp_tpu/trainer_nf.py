@@ -94,6 +94,12 @@ class NFTrainer:
         patch = int(self.dst.get("patch_size", 256))
 
         arch = self.args.get("arch", {})
+        arch_proxy = self.args.get("arch_proxy", {}) or {}
+        # PNNP-style runfiles describe the proxy in `arch_proxy` (the `arch`
+        # block is the denoiser); prefer it when training a proxy.
+        if "pw_iso" not in arch.get("name", "") and "pw_iso" in arch_proxy.get("name", ""):
+            if model_kind == "proxy" or "NoiseFlow" not in arch.get("name", ""):
+                arch = arch_proxy
         if model_kind == "proxy" or "pw_iso" in arch.get("name", ""):
             self.kind = "proxy"
             self.model = PixelWiseISOProxy(
@@ -133,11 +139,16 @@ class NFTrainer:
             self.args.get("checkpoint", "saved_model"),
             self.model_name, save_freq=self.hyper.get("save_freq", 10),
         )
-        self.dataset_train = (
-            build_dataset(self.args["dst_train"], seed=seed)
-            if self.args.get("dst_train") else None
-        )
+        self._dataset_train = None
         self.nll_meter = AverageMeter("NLL", ":4f")
+
+    @property
+    def dataset_train(self):
+        """Built lazily: the model/trainer are usable (sampling, conversion)
+        without the training data tree present."""
+        if self._dataset_train is None and self.args.get("dst_train"):
+            self._dataset_train = build_dataset(self.args["dst_train"], seed=self.seed)
+        return self._dataset_train
 
     def sample_noise(self, rng, clean, iso):
         variables = {"params": self.state.params}
