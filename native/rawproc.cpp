@@ -144,4 +144,46 @@ void pnnp_u16_to_f32(const uint16_t* src, int64_t n, float* dst) {
   for (int64_t i = 0; i < n; ++i) dst[i] = (float)src[i];
 }
 
+// Pack a full mosaic [H, W] directly into the 4x4-superpixel (s2d) layout
+// consumed by the TPU fast path: out [H/4, W/4, 16] where channel
+// (2*aH + aW)*4 + c holds packed-RGBG channel c of sub-position (aH, aW).
+// Equivalent to s2d(pack) but emitted in one pass at load time so the
+// device never touches the relayout-hostile 4-lane layout.
+void pnnp_pack_s2d(const float* raw, int H, int W, const float* darkshading,
+                   float wp, float bl, const float* bias, int clip01,
+                   float* out) {
+  const int hs = H / 4, ws = W / 4;
+  float bl_c[4], inv_span[4];
+  for (int c = 0; c < 4; ++c) {
+    bl_c[c] = bl + (bias ? bias[c] : 0.f);
+    inv_span[c] = 1.f / (wp - bl_c[c]);
+  }
+  unsigned nt = std::max(1u, std::thread::hardware_concurrency());
+  nt = std::min<unsigned>(nt, 8);
+  std::vector<std::thread> pool;
+  std::atomic<int> next_row{0};
+  auto worker = [&]() {
+    int i;
+    while ((i = next_row.fetch_add(1)) < hs) {
+      float* row_out = out + (size_t)i * ws * 16;
+      for (int j = 0; j < ws; ++j) {
+        for (int ah = 0; ah < 2; ++ah) {
+          for (int aw = 0; aw < 2; ++aw) {
+            for (int c = 0; c < 4; ++c) {
+              float v = normalize_px(
+                  fetch(raw, darkshading, W, 2 * i + ah, 2 * j + aw, c),
+                  bl_c[c], inv_span[c]);
+              if (clip01) v = std::min(std::max(v, 0.f), 1.f);
+              row_out[j * 16 + (2 * ah + aw) * 4 + c] = v;
+            }
+          }
+        }
+      }
+    }
+  };
+  for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& t : pool) t.join();
+}
+
 }  // extern "C"

@@ -45,6 +45,7 @@ def load_library(build: bool = True):
     lib.pnnp_pack_full.restype = None
     lib.pnnp_pack_crops.restype = None
     lib.pnnp_u16_to_f32.restype = None
+    lib.pnnp_pack_s2d.restype = None
     _lib = lib
     return _lib
 
@@ -91,5 +92,23 @@ def pack_crops(raw: np.ndarray, wp: float, bl: float,
         ctypes.c_float(wp), ctypes.c_float(bl), _float_ptr(b),
         i32p(hs), i32p(ws), i32p(aug), ctypes.c_int(n), ctypes.c_int(patch),
         ctypes.c_int(clip_mode), ctypes.c_float(ratio_mul), _float_ptr(out),
+    )
+    return out
+
+
+def pack_s2d(raw: np.ndarray, wp: float, bl: float, darkshading=None,
+             bias=None, clip: bool = False) -> np.ndarray:
+    """Fused pack straight into the TPU fast path's 4x4-superpixel layout:
+    mosaic [H, W] -> [H/4, W/4, 16] (== s2d of the RGBG packing)."""
+    lib = load_library()
+    raw = np.ascontiguousarray(raw, np.float32)
+    H, W = raw.shape
+    out = np.empty((H // 4, W // 4, 16), np.float32)
+    ds = None if darkshading is None else np.ascontiguousarray(darkshading, np.float32)
+    b = None if bias is None else np.ascontiguousarray(bias, np.float32)
+    lib.pnnp_pack_s2d(
+        _float_ptr(raw), ctypes.c_int(H), ctypes.c_int(W), _float_ptr(ds),
+        ctypes.c_float(wp), ctypes.c_float(bl), _float_ptr(b),
+        ctypes.c_int(1 if clip else 0), _float_ptr(out),
     )
     return out

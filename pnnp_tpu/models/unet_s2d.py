@@ -347,6 +347,85 @@ def transform_params_hybrid(params: dict, dtype: Any = jnp.bfloat16) -> dict:
     return out
 
 
+def unet_hybrid_forward_packed(tparams: dict, g1: jnp.ndarray,
+                               res_x: jnp.ndarray | None = None,
+                               dtype: Any = jnp.bfloat16) -> jnp.ndarray:
+    """Hybrid forward over s2d-PACKED input/output — the production layout.
+
+    ``g1`` is the frame in 4x4-superpixel packing ``[N, H/2, W/2, 16]``
+    (= ``s2d(packed_rggb)``; the native host packer emits it directly, see
+    native/rawproc.cpp pnnp_pack_s2d). Returns the denoised frame in the same
+    packed layout. Avoiding the boundary s2d/d2s relayouts on the 4-lane
+    tensors is worth ~20% frame time on v5e (narrow-lane relayouts are
+    bandwidth-hostile). ``res_x`` adds the residual input if the model has
+    ``res=True``.
+    """
+    k = lambda name: tparams[name]["kernel"]
+    b = lambda name: tparams[name]["bias"]
+    g1 = g1.astype(dtype)
+
+    conv = lambda t, name: _lrelu(
+        jax.lax.conv_general_dilated(
+            t, k(name), (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        + b(name)
+    )
+    up = lambda t, name: jax.lax.conv_transpose(
+        t, k(name), (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b(name)
+    pool = lambda t: jax.lax.reduce_window(
+        t, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+    def dec_conv(up_t, skip, name):
+        kk = k(name)
+        cu = up_t.shape[-1]
+        h = jax.lax.conv_general_dilated(
+            up_t, kk[:, :, :cu], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jax.lax.conv_general_dilated(
+            skip, kk[:, :, cu:], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return _lrelu(h + b(name))
+
+    c1g = conv(conv(g1, "conv1_1"), "conv1_2")
+    p1 = _group_max(c1g)
+    c2 = conv(conv(p1, "conv2_1"), "conv2_2")
+    c3 = conv(conv(pool(c2), "conv3_1"), "conv3_2")
+    c4 = conv(conv(pool(c3), "conv4_1"), "conv4_2")
+    c5 = conv(conv(pool(c4), "conv5_1"), "conv5_2")
+    c6 = conv(dec_conv(up(c5, "upv6"), c4, "conv6_1"), "conv6_2")
+    c7 = conv(dec_conv(up(c6, "upv7"), c3, "conv7_1"), "conv7_2")
+    c8 = conv(dec_conv(up(c7, "upv8"), c2, "conv8_1"), "conv8_2")
+
+    g_up = jnp.einsum("nhwc,cd->nhwd", c8, k("upv9")) + b("upv9")
+    k91 = k("conv9_1")
+    cu = g_up.shape[-1] // 4
+    cs = c1g.shape[-1] // 4
+    rows = jnp.arange(k91.shape[2]).reshape(4, cu + cs)
+    h9 = _lrelu(
+        jax.lax.conv_general_dilated(
+            g_up, k91[:, :, rows[:, :cu].reshape(-1)], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        + jax.lax.conv_general_dilated(
+            c1g, k91[:, :, rows[:, cu:].reshape(-1)], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        + b("conv9_1")
+    )
+    c9g = conv(h9, "conv9_2")
+
+    kh = k("conv10_1")[0, 0]
+    n_, h_, w_, c4_ = c9g.shape
+    head = jnp.einsum(
+        "nhwgc,cd->nhwgd", c9g.reshape(n_, h_, w_, 4, c4_ // 4), kh
+    ) + b("conv10_1")
+    out = head.reshape(n_, h_, w_, -1)
+    if res_x is not None:
+        out = out + res_x.astype(dtype)
+    return out
+
+
 def unet_hybrid_forward(tparams: dict, x: jnp.ndarray, res: bool = False,
                         dtype: Any = jnp.bfloat16) -> jnp.ndarray:
     """UNetSeeInDark forward with the dense-s2d level-1 fast path.

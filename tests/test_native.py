@@ -51,3 +51,13 @@ def test_pack_crops_ratio_and_halfclip(rng):
         np.testing.assert_allclose(
             ours[i], packed[h0 : h0 + 8, w0 : w0 + 8], rtol=1e-4, atol=1e-5
         )
+
+
+def test_pack_s2d_matches_jax_path(rng):
+    import jax.numpy as jnp
+    from pnnp_tpu.models.unet_s2d import s2d
+
+    raw = rng.integers(0, 16383, (32, 48)).astype(np.float32)
+    ours = native.pack_s2d(raw, 16383.0, 512.0)
+    ref = np.asarray(s2d(jnp.asarray(pack_raw_np(raw, 16383.0, 512.0))[None]))[0]
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)

@@ -85,3 +85,22 @@ def test_hybrid_forward_equivalence(rng):
     tp = transform_params_hybrid(params["params"], dtype=jnp.float32)
     ours = unet_hybrid_forward(tp, x, res=False, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-3, atol=2e-5)
+
+
+def test_packed_forward_equivalence(rng):
+    """Packed-I/O production path == standard model modulo the s2d packing."""
+    from pnnp_tpu.models.unet_s2d import (
+        transform_params_hybrid,
+        unet_hybrid_forward_packed,
+    )
+
+    model = UNetSeeInDark(nf=4)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 4)).astype(np.float32))
+    params = model.init(jax.random.key(3), x)
+    params = jax.tree.map(lambda a: a * 5.0, params)
+    ref = model.apply(params, x)
+    tp = transform_params_hybrid(params["params"], dtype=jnp.float32)
+    out_packed = unet_hybrid_forward_packed(tp, s2d(x), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(d2s(out_packed)), np.asarray(ref), rtol=1e-3, atol=2e-5
+    )
