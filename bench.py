@@ -40,7 +40,7 @@ def main():
     # (lax.map) — per-frame cost without dispatch overhead or feedback-cast
     # artifacts, f32 in / f32 out; the final sum forces a host readback
     # (block_until_ready alone is not reliable through remote-device tunnels).
-    K = 8
+    K = 24
     frames = jnp.zeros((K, B, H // 2, W // 2, 16), jnp.float32)
 
     @jax.jit
@@ -52,7 +52,7 @@ def main():
     y = run(tparams, frames)
     float(jnp.sum(y))  # warmup + compile
 
-    n_iter = 3
+    n_iter = 2
     t0 = time.perf_counter()
     for _ in range(n_iter):
         y = run(tparams, frames)
