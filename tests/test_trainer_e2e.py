@@ -81,3 +81,49 @@ def test_trainer_end_to_end(tmp_path, monkeypatch):
     assert t2.eval_psnr.count > 0
     assert np.isfinite(t2.eval_psnr.avg)
     assert os.path.exists(f"./metrics/{runfile['model_name']}_metrics.pkl")
+
+
+def test_eval_log_format_matches_reference(tmp_path, monkeypatch):
+    """The eval summary keeps the reference's 3-line log contract
+    (trainer_SID.py:309-312): Epoch/PSNR, psnrs_lr/dn, ssims_lr/dn."""
+    import re
+
+    monkeypatch.chdir(tmp_path)
+    make_sid_fixture(tmp_path, n_scenes=2, H=32, W=48)
+    with open(tmp_path / "infos" / "SID_eval.info", "rb") as f:
+        infos = pickle.load(f)
+    big = []
+    for k in range(120):
+        e = dict(infos[k % len(infos)])
+        e["short"], e["ratio"] = e["short"][0], e["ratio"][0]
+        big.append(e)
+    with open(tmp_path / "infos" / "SID_eval.info", "wb") as f:
+        pickle.dump(big, f)
+
+    import yaml as _yaml
+    runfile = {
+        "mode": "eval", "checkpoint": "saved_model/T", "fast_ckpt": "checkpoints/T",
+        "model_name": "FMT_Unet", "num_workers": 0, "brightness_correct": True,
+        "dst": {"dataset": "SID_Dataset", "dstname": "SID", "command": "",
+                "camera_type": "SonyA7S2", "noise_code": "pr", "patch_size": 8,
+                "H": 32, "W": 48, "crop_per_image": 1, "croptype": "random_crop",
+                "wp": 16383, "bl": 512, "ori": False, "clip": 2,
+                "infos_dir": str(tmp_path / "infos")},
+        "arch": {"name": "UNetSeeInDark", "nf": 4, "nframes": 1},
+        "hyper": {"lr_scheduler": "fixed", "learning_rate": 1e-4, "batch_size": 1,
+                  "stop_epoch": 1, "last_epoch": 0, "save_freq": 1,
+                  "plot_freq": 1, "best_psnr": 0},
+    }
+    runfile["dst_eval"] = dict(runfile["dst"], mode="eval")
+    with open(tmp_path / "f.yml", "w") as f:
+        _yaml.safe_dump(runfile, f)
+
+    from pnnp_tpu.trainer import Trainer
+
+    t = Trainer(str(tmp_path / "f.yml"), mode="eval", nofig=True, debug=True)
+    t.dataset_eval.change_eval_ratio(100)
+    t.eval(-1)
+    logtext = open(f"./logs/log_FMT_Unet.log").read()
+    assert re.search(r"Epoch -1: PSNR=\d+\.\d\d", logtext)
+    assert re.search(r"psnrs_lr=\d+\.\d\d, psnrs_dn=\d+\.\d\d", logtext)
+    assert re.search(r"ssims_lr=[\d.]+, ssims_dn=[\d.]+", logtext)
