@@ -428,87 +428,14 @@ def unet_hybrid_forward_packed(tparams: dict, g1: jnp.ndarray,
 
 def unet_hybrid_forward(tparams: dict, x: jnp.ndarray, res: bool = False,
                         dtype: Any = jnp.bfloat16) -> jnp.ndarray:
-    """UNetSeeInDark forward with the dense-s2d level-1 fast path.
+    """UNetSeeInDark forward with the dense-s2d level-1 fast path, HWC I/O.
 
     ``tparams`` from :func:`transform_params_hybrid`; exact-equivalent to the
-    standard model (tests/test_unet_s2d.py)."""
-    k = lambda name: tparams[name]["kernel"]
-    b = lambda name: tparams[name]["bias"]
+    standard model (tests/test_unet_s2d.py). Thin wrapper over the packed
+    production path: s2d pack -> :func:`unet_hybrid_forward_packed` -> d2s.
+    """
     xl = x.astype(dtype)
-
-    conv = lambda t, name: _lrelu(
-        jax.lax.conv_general_dilated(
-            t, k(name), (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        )
-        + b(name)
+    out = unet_hybrid_forward_packed(
+        tparams, s2d(xl), res_x=s2d(xl) if res else None, dtype=dtype
     )
-    # ConvTranspose stays native for upv6-8: the 1x1+depth-to-space variant
-    # measures faster in isolation but slower composed (relayouts defeat XLA
-    # fusion). upv9 feeds the s2d level-1 decoder and skips the d2s entirely.
-    up = lambda t, name: jax.lax.conv_transpose(
-        t, k(name), (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    ) + b(name)
-    pool = lambda t: jax.lax.reduce_window(
-        t, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    )
-
-    # --- level 1 encoder in dense-s2d form ---
-    g1 = s2d(xl)                                  # [H/2, W/2, 16]
-    c1g = conv(conv(g1, "conv1_1"), "conv1_2")    # [H/2, W/2, 128]
-    p1 = _group_max(c1g)                          # == pool1 output [H/2, W/2, 32]
-
-    # --- levels 2..5 directly ---
-    c2 = conv(conv(p1, "conv2_1"), "conv2_2")
-    c3 = conv(conv(pool(c2), "conv3_1"), "conv3_2")
-    c4 = conv(conv(pool(c3), "conv4_1"), "conv4_2")
-    c5 = conv(conv(pool(c4), "conv5_1"), "conv5_2")
-
-    # Decoder concat convs as two half-input convs summed (skips the channel
-    # concat and runs each half at a faster conv shape).
-    def dec_conv(up_t, skip, name):
-        kk = k(name)
-        cu = up_t.shape[-1]
-        h = jax.lax.conv_general_dilated(
-            up_t, kk[:, :, :cu], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + jax.lax.conv_general_dilated(
-            skip, kk[:, :, cu:], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        return _lrelu(h + b(name))
-
-    c6 = conv(dec_conv(up(c5, "upv6"), c4, "conv6_1"), "conv6_2")
-    c7 = conv(dec_conv(up(c6, "upv7"), c3, "conv7_1"), "conv7_2")
-    c8 = conv(dec_conv(up(c7, "upv8"), c2, "conv8_1"), "conv8_2")  # [H/2, W/2, 64]
-
-    # --- level 1 decoder in dense-s2d form ---
-    g_up = jnp.einsum("nhwc,cd->nhwd", c8, k("upv9")) + b("upv9")  # [H/2, 128]
-    # conv9_1 over concat(up, skip) as two half-input convs summed: avoids the
-    # group-interleaved concat AND runs each conv at the fast 128-in shape
-    # (measured: 8.6 vs 13.0 ms for the pair).
-    k91 = k("conv9_1")  # dense s2d kernel [3, 3, 4*(Cu+Cs), 4*D]
-    cu = g_up.shape[-1] // 4   # per-group up channels
-    cs = c1g.shape[-1] // 4    # per-group skip channels
-    rows = jnp.arange(k91.shape[2]).reshape(4, cu + cs)
-    idx_up = rows[:, :cu].reshape(-1)
-    idx_skip = rows[:, cu:].reshape(-1)
-    h9 = _lrelu(
-        jax.lax.conv_general_dilated(
-            g_up, k91[:, :, idx_up], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        + jax.lax.conv_general_dilated(
-            c1g, k91[:, :, idx_skip], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        + b("conv9_1")
-    )
-    c9g = conv(h9, "conv9_2")                     # [H/2, 128]
-
-    kh = k("conv10_1")[0, 0]
-    n_, h_, w_, c4_ = c9g.shape
-    head = jnp.einsum(
-        "nhwgc,cd->nhwgd", c9g.reshape(n_, h_, w_, 4, c4_ // 4), kh
-    ) + b("conv10_1")
-    out = d2s(head.reshape(n_, h_, w_, -1))
-    if res:
-        out = out + xl
-    return out.astype(jnp.float32)
+    return d2s(out).astype(jnp.float32)
