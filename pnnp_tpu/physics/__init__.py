@@ -8,6 +8,7 @@ from pnnp_tpu.physics.sampling import (
 )
 from pnnp_tpu.physics.noise import (
     generate_noisy,
+    generate_noisy_packed,
     sna,
     raw_wb_aug,
     get_aug_param,

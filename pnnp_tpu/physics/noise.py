@@ -96,6 +96,77 @@ def generate_noisy(
     return z
 
 
+def generate_noisy_packed(
+    key: jax.Array,
+    g: jnp.ndarray,
+    params: dict,
+    noise_code: str = "p",
+    mfm: float = 1.0,
+    ori: bool = False,
+    clip: bool = False,
+) -> jnp.ndarray:
+    """:func:`generate_noisy` over the 4x4-superpixel (s2d) packed layout.
+
+    ``g`` is ``[n, h, w, 16]`` with channels ``(2*aH + aW)*4 + c`` (see
+    models/unet_s2d.s2d). Per-pixel noise components are layout-independent;
+    the row-noise component is drawn per (full-resolution row, RGBG channel)
+    — i.e. per (h, aH, c) — and broadcast across aW and w, preserving the
+    exact banding structure of the unpacked generator. Enables fully-packed
+    training pipelines (no device-side relayout of 4-lane tensors).
+    """
+    code = noise_code.lower()
+    use_r, use_q, use_tl = "r" in code, "q" in code, "g" in code
+    use_p, use_d, use_black = "p" in code, "d" in code, "b" in code
+
+    n, h, w, c16 = g.shape
+    assert c16 == 16, "packed layout has 16 channels"
+    k_shot, k_read, k_row, k_quant = jax.random.split(key, 4)
+    MFM = jnp.float32(mfm) ** 0.5
+
+    scale = params["wp"] - params["bl"]
+    y_adu = g * _b(scale) / _b(params["ratio"])
+    K = _b(params["K"])
+
+    if use_p:
+        lam_shot = jnp.maximum(MFM * y_adu / K, 0.0)
+        shot = jax.random.poisson(k_shot, lam_shot).astype(jnp.float32) * K / MFM
+    else:
+        std = jnp.sqrt(jnp.maximum(y_adu / K, 1e-10))
+        shot = y_adu + jax.random.normal(k_shot, g.shape) * std * K / MFM
+
+    if use_black:
+        read = row = quant = bias = 0.0
+    else:
+        if use_tl:
+            read = tukeylambda_sample(
+                k_read, _b(params["lam"]), _b(params["sigTL"]) / MFM, g.shape
+            )
+        else:
+            read = jax.random.normal(k_read, g.shape) * _b(params["sigGs"]) / MFM
+        if use_r:
+            # per (example, packed-row, aH, channel); broadcast over (w, aW)
+            r = jax.random.normal(k_row, (n, h, 1, 2, 1, 4)) * (
+                params["sigR"].reshape(-1, 1, 1, 1, 1, 1) / MFM
+            )
+            row = jnp.broadcast_to(r, (n, h, 1, 2, 2, 4)).reshape(n, h, 1, 16)
+        else:
+            row = 0.0
+        if use_q:
+            quant = (jax.random.uniform(k_quant, g.shape) - 0.5) * _b(params["q"] * scale)
+        else:
+            quant = 0.0
+        bias = jnp.tile(params["bias"], (1, 4))[:, None, None, :] if use_d else 0.0
+
+    z = (shot + read + row + quant + bias) / _b(scale)
+    if clip:
+        z = jnp.clip(z, 0.0, 1.0)
+    else:
+        z = jnp.clip(z, _b(-params["bl"] / params["wp"]), 1.0)
+    if not ori:
+        z = z * _b(params["ratio"])
+    return z
+
+
 def _k_and_wp_for(key, camera_type: str, iso: jnp.ndarray):
     """Per-example (K, wp, bl) at given float ISOs, table or regression fallback."""
     if camera_type == "SonyA7S2":

@@ -173,3 +173,35 @@ def test_hbr_recovers_continuous_distribution():
     m = (hp > 0) & (hq > 0)
     kld = np.sum(hp[m] * np.log(hp[m] / hq[m])) * (bins[1] - bins[0])
     assert kld < 0.01
+
+
+def test_generate_noisy_packed_structure():
+    """Packed generator: per-pixel stats match the unpacked generator, and the
+    row-noise component is constant along full-resolution rows (banding)."""
+    from pnnp_tpu.physics import generate_noisy_packed
+    from pnnp_tpu.models.unet_s2d import d2s, s2d
+
+    n, h2, w2 = 2, 32, 32
+    params = make_params(n, ratio=1.0)
+    # isolate row noise: zero signal (Poisson(0)=0) and zero read noise
+    params["sigGs"] = jnp.zeros_like(params["sigGs"])
+    g = jnp.zeros((n, h2, w2, 16))
+    zp = generate_noisy_packed(jax.random.key(0), g, params, "pr", ori=True)
+    full = np.asarray(d2s(zp))  # [n, 2*h2, 2*w2, 4]
+    # each full-res row is constant across W per channel
+    row_std = full.std(axis=2)
+    np.testing.assert_allclose(row_std, 0.0, atol=1e-7)
+    # row noise magnitude matches sigR / span
+    span = float(np.asarray(params["wp"] - params["bl"])[0])
+    sig_expected = float(params["sigR"][0]) / span
+    assert abs(full.std() / sig_expected - 1.0) < 0.05
+
+    # full-code statistical parity with the unpacked generator
+    params2 = make_params(n, ratio=100.0)
+    y = jnp.full((n, 2 * h2, 2 * w2, 4), 0.002)
+    z_unpacked = np.asarray(generate_noisy(jax.random.key(1), y, params2, "pgrq"))
+    z_packed = np.asarray(
+        d2s(generate_noisy_packed(jax.random.key(2), s2d(y), params2, "pgrq"))
+    )
+    assert abs(z_packed.mean() - z_unpacked.mean()) < 0.01
+    assert abs(z_packed.std() / z_unpacked.std() - 1.0) < 0.03
