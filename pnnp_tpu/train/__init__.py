@@ -11,6 +11,7 @@ from pnnp_tpu.train.steps import (
     make_train_step,
     make_eval_step,
     make_raw_synth,
+    make_raw_synth_packed,
     make_proxy_synth,
     make_mix_synth,
     identity_synth,

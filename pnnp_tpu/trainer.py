@@ -36,6 +36,7 @@ from pnnp_tpu.train import (
     make_mix_synth,
     make_proxy_synth,
     make_raw_synth,
+    make_raw_synth_packed,
     make_train_step,
 )
 from pnnp_tpu.utils.logging import AverageMeter, StepTimer, log
@@ -123,11 +124,21 @@ class Trainer:
             and not self.arch.get("use_dpsv", False)
             and not self.args.get("disable_fast_path", False)
         )
+        # Physics-synth training additionally runs fully in the packed layout
+        # (synth + fwd + bwd + loss, no per-step s2d/d2s relayouts): 88 -> 63
+        # ms/step on v5e at the reference shape. Parity tested
+        # (tests/test_parity_and_sharding.py::test_packed_train_step_matches_fast).
+        self._use_packed = (
+            use_fast
+            and (self.args.get("dst_train") or {}).get("dataset")
+            in ("Raw_Dataset", "IMX686_Raw_Dataset")
+            and not self.args.get("disable_packed_step", False)
+        )
         self.train_step = make_train_step(
             self.model, self.lr_schedule, self._make_synth(),
             clip_mode=self.dst.get("clip", 0),
             deep_supervision=bool(self.arch.get("use_dpsv", False)),
-            fast=use_fast,
+            fast="packed" if self._use_packed else use_fast,
         )
         self.eval_step = make_eval_step(self.model, fast=use_fast)
 
@@ -205,6 +216,8 @@ class Trainer:
         ori = bool(self.dst.get("ori", False))
         clip = self.dst.get("clip", 0)
         if name in ("Raw_Dataset", "IMX686_Raw_Dataset"):
+            if getattr(self, "_use_packed", False):
+                return make_raw_synth_packed(cam, code, ori, clip)
             return make_raw_synth(cam, code, ori, clip)
         if name in ("NF_Syn_Dataset", "Proxy_Dataset", "IMX686_NF_Syn_Dataset",
                     "IMX686_Proxy_Dataset") and self.proxy is not None:

@@ -126,3 +126,53 @@ def test_fast_train_step_grads_match():
     assert abs(l1 - l2) < 2e-3, (l1, l2)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+@pytest.mark.slow
+def test_packed_train_step_matches_fast():
+    """fast="packed" (relayout-free, loss in packed space) must produce the
+    SAME params and loss as fast=True — the layouts are permutations and
+    forward math is identical bf16."""
+    from pnnp_tpu.models.unet_s2d import s2d
+    from pnnp_tpu.train import build_lr_schedule, make_train_step
+    from pnnp_tpu.train.steps import identity_synth
+
+    model = UNetSeeInDark(nf=4)
+    lr_schedule = build_lr_schedule(
+        {"lr_scheduler": "fixed", "learning_rate": 1e-3, "stop_epoch": 10, "last_epoch": 0}
+    )
+    hr = np.random.default_rng(1).uniform(0, 0.5, (2, 16, 16, 4)).astype(np.float32)
+    lr_img = np.clip(hr + np.random.default_rng(2).normal(0, 0.05, hr.shape), 0, 1).astype(np.float32)
+    key = jax.random.key(3)
+
+    def run(fast, batch):
+        step = make_train_step(model, lr_schedule, identity_synth,
+                               clip_mode=0, donate=False, fast=fast)
+        state = create_train_state(jax.random.key(0), model, jnp.zeros((1, 16, 16, 4)))
+        state, m = step(state, batch, key, 1)
+        return state, float(m["loss"]), float(m["psnr"])
+
+    batch_u = {"hr": jnp.asarray(hr), "lr": jnp.asarray(lr_img), "ratio": jnp.ones(2)}
+    batch_p = {"hr": s2d(batch_u["hr"]), "lr": s2d(batch_u["lr"]), "ratio": jnp.ones(2)}
+    s1, l1, p1 = run(True, batch_u)
+    s2, l2, p2 = run("packed", batch_p)
+    assert abs(l1 - l2) < 1e-5, (l1, l2)
+    assert abs(p1 - p2) < 1e-3, (p1, p2)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_packed_raw_synth_shapes_and_stats():
+    from pnnp_tpu.train.steps import make_raw_synth, make_raw_synth_packed
+
+    hr = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 0.01, (2, 32, 32, 4)).astype(np.float32)
+    )
+    synth_p = make_raw_synth_packed("SonyA7S2", "pgrq", ori=False, clip=False)
+    lr_p, hr_p, ratio = synth_p(jax.random.key(5), {"hr": hr})
+    assert lr_p.shape == hr_p.shape == (2, 16, 16, 16)
+    synth_u = make_raw_synth("SonyA7S2", "pgrq", ori=False, clip=False)
+    lr_u, _, _ = synth_u(jax.random.key(5), {"hr": hr})
+    # same params key -> same ratio; distributions agree in moments
+    assert abs(float(lr_p.mean()) - float(lr_u.mean())) < 0.02
+    assert abs(float(lr_p.std()) / float(lr_u.std()) - 1.0) < 0.05
