@@ -176,3 +176,40 @@ def test_packed_raw_synth_shapes_and_stats():
     # same params key -> same ratio; distributions agree in moments
     assert abs(float(lr_p.mean()) - float(lr_u.mean())) < 0.02
     assert abs(float(lr_p.std()) / float(lr_u.std()) - 1.0) < 0.05
+
+
+def test_sharded_packed_step_matches_single_device():
+    """The packed production step composes with the data-parallel mesh:
+    sharded result == single-device result."""
+    from pnnp_tpu.parallel import make_mesh, make_sharded_train_step, shard_batch
+    from pnnp_tpu.train import build_lr_schedule, make_train_step
+    from pnnp_tpu.train.steps import make_raw_synth_packed
+
+    model = UNetSeeInDark(nf=4)
+    sched = build_lr_schedule(
+        {"lr_scheduler": "fixed", "learning_rate": 1e-3, "stop_epoch": 10, "last_epoch": 0}
+    )
+    synth = make_raw_synth_packed("SonyA7S2", "prq", ori=False, clip=False)
+    step = make_train_step(model, sched, synth, clip_mode=2, donate=False,
+                           fast="packed")
+    hr = np.random.default_rng(0).uniform(0, 0.1, (8, 16, 16, 4)).astype(np.float32)
+    batch = {"hr": jnp.asarray(hr)}
+    key = jax.random.key(9)
+
+    state1 = create_train_state(jax.random.key(0), model, jnp.zeros((1, 16, 16, 4)))
+    state1, m1 = step(state1, batch, key, 1)
+
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    sstep = make_sharded_train_step(mesh, step)
+    state2 = create_train_state(jax.random.key(0), model, jnp.zeros((1, 16, 16, 4)))
+    with mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        state2 = jax.device_put(state2, NamedSharding(mesh, P()))
+        state2, m2 = sstep(state2, shard_batch(mesh, batch), key, 1)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # bf16 forward/backward: cross-device psum reduction order differs from
+    # the single-device reduce, so allow bf16-scale slack on the params.
+    for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
