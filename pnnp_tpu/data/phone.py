@@ -13,6 +13,7 @@ Info format (reference get_IMX686_info_{long,short}):
 from __future__ import annotations
 
 import os
+import pickle
 from typing import Optional
 
 import numpy as np
@@ -133,13 +134,14 @@ class PhoneBaseDataset(BaseRawDataset):
     def blc_rggb(raw: np.ndarray, bias: np.ndarray) -> np.ndarray:
         return PhoneDarkShading.blc_rggb(raw, bias)
 
-    def correct_phone_lr(self, lr_raw, exp_ms, hot, dgain, hr_raw=None):
+    def correct_phone_lr(self, lr_raw, exp_ms, hot, dgain, hr_raw=None, jitter=True):
         cmd = self.args["command"]
         if self.phone_ds is None:
             return lr_raw, hr_raw
         if "darkshading" in cmd:
             lr_raw = lr_raw - self.phone_ds(self.iso, exp_ms, hot=hot)
-            if "darkshading2" in cmd and self.args["mode"] == "train":
+            # no bias jitter on pasted black frames (phone_datasets.py:607-610)
+            if "darkshading2" in cmd and self.args["mode"] == "train" and jitter:
                 lr_raw = lr_raw + self.rng.standard_normal() * 0.1
         if "blc" in cmd:
             bias = self.phone_ds.get_bias(self.iso, exp_ms, hot)
@@ -242,14 +244,87 @@ IMX686ProxyDataset = IMX686RawDataset
 
 
 class IMX686MixDataset(IMX686Dataset):
-    """PMN-style SNA pairing for LRID; host side identical to the paired
-    loader (+bias frames when available); SNA runs on-device
-    (reference: phone_datasets.py:534-665)."""
+    """PMN-style SNA pairing for LRID (reference: phone_datasets.py:534-665).
+
+    Host side is the paired loader; with ``HB`` in command, 1-in-5 training
+    items instead paste a *real bias frame* as lr (``black_lr=1`` crops,
+    dgain pinned to 20): the LUT HighBitRecovery remap and the SNA signal
+    swap then run on-device in the jitted synth stage
+    (:func:`pnnp_tpu.train.steps.make_mix_synth`), so mixed batches stay one
+    XLA program. Bias library layout: ``bias_dir/6400/*`` (+ ``bias_dir-hot``
+    for hot scenes), optional ``bias_meta.pkl`` mapping filename ->
+    ExposureTime in ms (default 30, the reference's record_bias_frames
+    capture exposure, real_datasets.py:255-280)."""
+
+    def __init__(self, args=None, seed: int = 1997):
+        super().__init__(args, seed)
+        self.blacks, self.black_exps = [], []
+        self.blacks_hot, self.black_exps_hot = [], []
+        bias_dir = self.args.get("bias_dir")
+        if "HB" in self.args["command"] and bias_dir:
+            self.blacks, self.black_exps = self._scan_bias(bias_dir)
+            self.blacks_hot, self.black_exps_hot = self._scan_bias(bias_dir + "-hot")
+
+    def _scan_bias(self, root):
+        d = os.path.join(root, str(self.iso))
+        if not os.path.isdir(d):
+            return [], []
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if not f.endswith((".pkl", ".info"))]
+        exps = [30.0] * len(files)
+        meta = os.path.join(root, "bias_meta.pkl")
+        if os.path.exists(meta):
+            with open(meta, "rb") as f:
+                m = pickle.load(f)
+            exps = [float(m.get(os.path.basename(p), 30.0)) for p in files]
+        return files, exps
 
     def __getitem__(self, idx):
-        data = super().__getitem__(idx)
-        data["black_lr"] = False
-        return data
+        train = self.args["mode"] == "train"
+        idr = self.id_remap[idx % len(self.id_remap)]
+        info = self.infos[idr]
+        hot = self.hot_check(self._scene_idx(info))
+        blacks = self.blacks_hot if hot else self.blacks
+        use_black = bool(
+            train and blacks and "HB" in self.args["command"]
+            and self.rng.integers(5) == 0
+        )
+        if not use_black:
+            data = super().__getitem__(idx)
+            data["black_lr"] = np.zeros(len(data["hr"]), np.float32)
+            return data
+
+        # --- pasted bias frame path (phone_datasets.py:586-640) -------------
+        exps = self.black_exps_hot if hot else self.black_exps
+        dgain = 20
+        n_pick = min(10, len(blacks)) if "lr10" in self.args["command"] else len(blacks)
+        lr_id = int(self.rng.integers(n_pick))
+        lr_raw = np.asarray(dataload(blacks[lr_id])).reshape(self.H, self.W)
+        exp_ms = float(exps[lr_id])
+        hr_raw = np.asarray(dataload(info["hr"])).reshape(self.H, self.W)
+        lr_raw, hr_new = self.correct_phone_lr(lr_raw, exp_ms, hot, dgain,
+                                               hr_raw, jitter=False)
+        if hr_new is not None:
+            hr_raw = hr_new
+
+        lr = self.pack(lr_raw, clip=False)
+        hr = self.pack(hr_raw, clip=True)
+        planner = self.make_planner()
+        hr = planner.crop(hr)
+        planner.replan()  # bias crops are position-independent of the GT
+        lr = planner.crop(lr)
+        if not self.args["ori"]:
+            lr = lr * dgain
+        lr, hr = _clip_pair(lr, hr, self.args["clip"])
+        return {
+            "hr": np.ascontiguousarray(hr), "lr": np.ascontiguousarray(lr),
+            "ratio": np.full(len(hr), dgain, np.float32),
+            "iso": np.full(len(hr), self.iso, np.float32),
+            "wb": np.asarray(info["wb"], np.float32),
+            "ccm": np.asarray(info["ccm"], np.float32),
+            "name": f"{info['name']}_x{dgain:02d}",
+            "black_lr": np.ones(len(hr), np.float32),
+        }
 
 
 class IMX686SFRNRawDataset(PhoneBaseDataset):

@@ -188,15 +188,17 @@ def sna(
     camera_type: str = "IMX686",
     ratio: jnp.ndarray | float = 1.0,
     iso: jnp.ndarray | None = None,
-    black_lr: bool = False,
+    black_lr: bool | jnp.ndarray = False,
     ori: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Shot-Noise-Augmentation: brightness/WB delta plus matched Poisson noise.
 
     Port of ``SNA_torch`` (reference: process.py:562-588), batched over
     ``gt [n, h, w, 4]`` with per-example ``aug_wb [n, 4]`` (RGBG channel
-    gains), ``ratio [n]``, ``iso [n]``. Returns ``(dn, dy)``: the noise delta
-    for the LR image and the signal delta for the GT.
+    gains), ``ratio [n]``, ``iso [n]``. ``black_lr`` may be a python bool or
+    a per-example [n] 0/1 array (batches can mix pasted bias frames with
+    paired data, reference: phone_datasets.py:585-600). Returns ``(dn, dy)``:
+    the noise delta for the LR image and the signal delta for the GT.
     """
     n = gt.shape[0]
     k_p, k_shot = jax.random.split(key)
@@ -216,10 +218,11 @@ def sna(
     dy = gt_adu * aug_wb[:, None, None, :]
     Kb = _b(K)
     dn = jax.random.poisson(k_shot, jnp.maximum(dy / Kb, 0.0)).astype(jnp.float32) * Kb
-    if black_lr:
-        # LR is a pasted black frame: remove the extra Poisson component the GT
-        # already carries (reference: process.py:581).
-        dy = dy - gt_adu
+    # LR is a pasted black frame: remove the extra Poisson component the GT
+    # already carries (reference: process.py:581). Per-example mask so mixed
+    # batches (1-in-5 bias paste) stay one compiled program.
+    black = jnp.broadcast_to(jnp.asarray(black_lr, jnp.float32), (n,))
+    dy = dy - gt_adu * _b(black)
     dy = dy * _b(ratio) / _b(scale)
     dn = dn / _b(scale)
     if not ori:

@@ -104,26 +104,35 @@ def make_proxy_synth(sample_fn: Callable, ori: bool = False,
     return synth
 
 
-def make_mix_synth(camera_type: str, command: str = "augv5", ori: bool = False):
+def make_mix_synth(camera_type: str, command: str = "augv5", ori: bool = False,
+                   hbr_map: Callable | None = None):
     """PMN-style SNA over *real* noisy/clean pairs.
 
-    batch needs: hr, lr, ratio [n], iso [n], wb [n, 4], black_lr (python bool
-    via dataset). (reference: trainer_SID.py:430-447)
+    batch needs: hr, lr, ratio [n], iso [n], wb [n, 4], and optionally
+    black_lr — a python bool or per-example [n] 0/1 array marking crops whose
+    lr is a pasted real bias frame (reference: trainer_SID.py:430-447,
+    phone_datasets.py:585-640). ``hbr_map(key, lr) -> lr`` is the
+    HighBitRecovery remap applied to the bias-frame crops (quantized read
+    noise -> continuous, reference: phone_datasets.py:632).
     """
 
     def synth(key, batch):
         hr, lr = batch["hr"], batch["lr"]
         n = hr.shape[0]
         ratio = batch["ratio"].reshape(-1)
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         aug_r, aug_g, aug_b = get_aug_param(k1, batch["wb"], n, command, camera_type)
         aug_wb = jnp.stack([aug_r, aug_g, aug_b, aug_g], axis=1)
-        black_lr = bool(batch.get("black_lr", False))
-        if black_lr:
-            aug_wb = aug_wb + 1.0
+        black = jnp.broadcast_to(
+            jnp.asarray(batch.get("black_lr", False), jnp.float32), (n,)
+        )
+        aug_wb = aug_wb + black[:, None]
+        if hbr_map is not None:
+            mask = black.reshape(-1, 1, 1, 1)
+            lr = jnp.where(mask > 0, hbr_map(k3, lr), lr)
         lr = lr if ori else lr * ratio.reshape(-1, 1, 1, 1)
         dn, dy = sna(k2, hr, aug_wb, camera_type=camera_type, ratio=ratio,
-                     iso=batch.get("iso"), black_lr=black_lr, ori=ori)
+                     iso=batch.get("iso"), black_lr=black, ori=ori)
         return lr + dn, hr + dy, ratio
 
     return synth

@@ -233,7 +233,18 @@ class Trainer:
             rng_range = (100.0, 300.0) if cam == "SonyA7S2" else (1.0, 16.0)
             return make_proxy_synth(sample_fn, ori=ori, ratio_range=rng_range)
         if name in ("Mix_Dataset", "IMX686_Mix_Dataset"):
-            return make_mix_synth(cam, self.dst.get("command", "augv5"), ori=ori)
+            command = self.dst.get("command", "augv5")
+            hbr_map = None
+            if "HB" in command:
+                # bias-frame pasting: HighBitRecovery LUT remap runs on-device
+                # inside the synth (reference: phone_datasets.py:546-555, 632)
+                from pnnp_tpu.physics import HighBitRecovery
+
+                iso = int(self.dst.get("iso", 6400))
+                hbr = HighBitRecovery(camera_type=cam, noise_code=code)
+                hbr.get_lut([iso])
+                hbr_map = lambda k, x: hbr.map(k, x, iso=iso)
+            return make_mix_synth(cam, command, ori=ori, hbr_map=hbr_map)
         if name in ("SFRN_Dataset", "IMX686_SFRN_Raw_Dataset"):
             # black-frame mode: shot-only synthesis (noise_code+'b') on the GT
             # plus the real bias-frame read-noise layer, matching the

@@ -161,3 +161,92 @@ def test_proxy_trainer_smoke(tmp_path, monkeypatch):
     clean = jnp.full((1, 8, 8, 4), 0.01)
     noise = t.sample_noise(jax.random.key(0), clean, jnp.full((1,), 1600.0))
     assert np.isfinite(np.asarray(noise)).all()
+
+
+def test_imx686_mix_bias_paste(tmp_path):
+    """'HB' command: 1-in-5 items paste a real bias frame as lr with
+    black_lr=1 crops, dgain pinned to 20 (reference: phone_datasets.py:586-640)."""
+    from pnnp_tpu.data.phone import IMX686MixDataset
+
+    make_lrid_fixture(tmp_path)
+    rng = np.random.default_rng(3)
+    bias_root = tmp_path / "bias" / "6400"
+    os.makedirs(bias_root)
+    for j in range(3):
+        # bias frames sit near 0 post-BL: values tightly around bl=64
+        np.save(str(bias_root / f"black{j}.npy"),
+                (64 + rng.normal(0, 2, (32, 48))).astype(np.float32))
+    with open(tmp_path / "bias" / "bias_meta.pkl", "wb") as f:
+        pickle.dump({f"black{j}.npy": 25.0 for j in range(3)}, f)
+
+    ds = IMX686MixDataset(phone_args(
+        tmp_path, dataset="IMX686_Mix_Dataset", command="alldg HB",
+        bias_dir=str(tmp_path / "bias")), seed=7)
+    assert len(ds.blacks) == 3 and ds.black_exps == [25.0] * 3
+
+    seen_black = seen_normal = 0
+    for i in range(60):
+        d = ds[i % len(ds)]
+        flag = d["black_lr"]
+        assert flag.shape == (len(d["hr"]),)
+        if flag.max() > 0:
+            seen_black += 1
+            assert d["ratio"][0] == 20.0
+            # bias crops live near 0 (normalized around BL), far below signal
+            assert abs(float(d["lr"].mean())) < 0.05
+        else:
+            seen_normal += 1
+    # ~1 in 5: both kinds must appear
+    assert seen_black >= 3 and seen_normal >= 30
+
+    # without a bias library the flag never raises
+    ds2 = IMX686MixDataset(phone_args(
+        tmp_path, dataset="IMX686_Mix_Dataset", command="alldg"), seed=7)
+    assert all(ds2[i]["black_lr"].max() == 0 for i in range(8))
+
+
+def test_sna_per_sample_black_mask():
+    """sna with a per-example 0/1 mask row-wise equals the pure bool calls."""
+    import jax
+    import jax.numpy as jnp
+    from pnnp_tpu.physics import sna
+
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(0, 0.3, (4, 16, 16, 4)).astype(np.float32))
+    aug_wb = jnp.asarray(rng.uniform(0, 0.4, (4, 4)).astype(np.float32))
+    iso = jnp.full((4,), 6400.0)
+    key = jax.random.key(11)
+    kw = dict(camera_type="IMX686", ratio=2.0, iso=iso, ori=True)
+    dn_t, dy_t = sna(key, gt, aug_wb, black_lr=True, **kw)
+    dn_f, dy_f = sna(key, gt, aug_wb, black_lr=False, **kw)
+    mask = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    dn_m, dy_m = sna(key, gt, aug_wb, black_lr=mask, **kw)
+    np.testing.assert_array_equal(np.asarray(dn_m), np.asarray(dn_t))  # dn unaffected
+    np.testing.assert_array_equal(np.asarray(dy_m[0]), np.asarray(dy_t[0]))
+    np.testing.assert_array_equal(np.asarray(dy_m[1]), np.asarray(dy_f[1]))
+    np.testing.assert_array_equal(np.asarray(dy_m[2]), np.asarray(dy_t[2]))
+    np.testing.assert_array_equal(np.asarray(dy_m[3]), np.asarray(dy_f[3]))
+
+
+def test_mix_synth_hbr_applied_to_black_rows_only():
+    """hbr_map touches exactly the black_lr rows; with gt=0 the SNA deltas
+    vanish so lr passes through up to the remap."""
+    import jax
+    import jax.numpy as jnp
+    from pnnp_tpu.train.steps import make_mix_synth
+
+    n = 2
+    batch = {
+        "hr": jnp.zeros((n, 8, 8, 4)),
+        "lr": jnp.full((n, 8, 8, 4), 0.25),
+        "ratio": jnp.full((n,), 20.0),
+        "iso": jnp.full((n,), 6400.0),
+        "wb": jnp.tile(jnp.asarray([[2.0, 1.0, 1.8, 1.0]], jnp.float32), (n, 1)),
+        "black_lr": jnp.asarray([1.0, 0.0]),
+    }
+    synth = make_mix_synth("IMX686", command="augv5", ori=True,
+                           hbr_map=lambda k, x: x + 100.0)
+    lr_out, hr_out, ratio = synth(jax.random.key(0), batch)
+    np.testing.assert_allclose(np.asarray(lr_out[0]), 100.25, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lr_out[1]), 0.25, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(hr_out), 0.0, atol=1e-7)
