@@ -131,7 +131,8 @@ class Trainer:
         self._use_packed = (
             use_fast
             and (self.args.get("dst_train") or {}).get("dataset")
-            in ("Raw_Dataset", "IMX686_Raw_Dataset")
+            in ("Raw_Dataset", "IMX686_Raw_Dataset",
+                "SFRN_Dataset", "IMX686_SFRN_Raw_Dataset")
             and not self.args.get("disable_packed_step", False)
         )
         self.train_step = make_train_step(
@@ -249,11 +250,17 @@ class Trainer:
             # black-frame mode: shot-only synthesis (noise_code+'b') on the GT
             # plus the real bias-frame read-noise layer, matching the
             # amplification convention (reference: syn_datasets.py:465-579).
-            raw = make_raw_synth(cam, code + "b", ori, clip)
+            packed = getattr(self, "_use_packed", False)
+            make = make_raw_synth_packed if packed else make_raw_synth
+            raw = make(cam, code + "b", ori, clip)
 
             def synth(key, batch):
                 lr_shot, hr, ratio = raw(key, batch)
                 read_layer = batch["lr"]
+                if packed:
+                    from pnnp_tpu.models.unet_s2d import s2d
+
+                    read_layer = s2d(read_layer)
                 if not ori:
                     read_layer = read_layer * ratio.reshape(-1, 1, 1, 1)
                 return lr_shot + read_layer, hr, ratio

@@ -83,3 +83,48 @@ def test_proxy_synth_via_train_step(rng):
     _, _, ratio = synth(jax.random.key(4), batch)
     r = np.asarray(ratio)
     assert r.min() >= 100 and r.max() <= 300
+
+
+def test_sfrn_packed_synth_via_trainer_dispatch(rng, tmp_path, monkeypatch):
+    """SFRN with the packed step: shot synth in packed space + s2d'd real read
+    layer. With a zero GT the shot term vanishes (Poisson(0)=0), so lr must be
+    EXACTLY the amplified read layer in packed layout."""
+    import os
+    import pickle
+    import yaml
+
+    from pnnp_tpu.models.unet_s2d import s2d
+    from tests.test_train_data import make_sid_fixture
+
+    monkeypatch.chdir(tmp_path)
+    make_sid_fixture(tmp_path, n_scenes=2, H=32, W=48)
+    runfile = {
+        "mode": "trainonly", "checkpoint": "sm", "fast_ckpt": "ck",
+        "model_name": "SFRN_packed_test", "num_workers": 0,
+        "dst": {"dataset": "SFRN_Dataset", "dstname": "SID", "command": "",
+                "camera_type": "SonyA7S2", "noise_code": "pr", "patch_size": 16,
+                "H": 32, "W": 48, "crop_per_image": 1, "croptype": "random_crop",
+                "wp": 16383, "bl": 512, "ori": False, "clip": 2,
+                "infos_dir": str(tmp_path / "infos")},
+        "arch": {"name": "UNetSeeInDark", "nf": 4, "nframes": 1},
+        "hyper": {"lr_scheduler": "fixed", "learning_rate": 1e-4, "batch_size": 1,
+                  "stop_epoch": 1, "last_epoch": 0, "save_freq": 1,
+                  "plot_freq": 10, "best_psnr": 0},
+    }
+    runfile["dst_train"] = dict(runfile["dst"], mode="train")
+    with open(tmp_path / "s.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+
+    from pnnp_tpu.trainer import Trainer
+
+    t = Trainer(str(tmp_path / "s.yml"), mode="trainonly", debug=True)
+    assert t._use_packed
+    synth = t._make_synth()
+    n = 2
+    read = jnp.asarray(rng.normal(0, 0.0004, (n, 16, 16, 4)).astype(np.float32))
+    batch = {"hr": jnp.zeros((n, 16, 16, 4)), "lr": read}
+    lr, hr, ratio = synth(jax.random.key(2), batch)
+    assert lr.shape == (n, 8, 8, 16) and hr.shape == (n, 8, 8, 16)
+    expected = np.asarray(s2d(read)) * np.asarray(ratio).reshape(-1, 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(lr), expected, rtol=1e-6, atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(hr), 0.0)
