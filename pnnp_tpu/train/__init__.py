@@ -15,6 +15,7 @@ from pnnp_tpu.train.steps import (
     make_proxy_synth,
     make_mix_synth,
     identity_synth,
+    pack_synth,
     clip_lr_hr,
     pad_to_multiple,
 )

@@ -38,6 +38,7 @@ from pnnp_tpu.train import (
     make_raw_synth,
     make_raw_synth_packed,
     make_train_step,
+    pack_synth,
 )
 from pnnp_tpu.utils.logging import AverageMeter, StepTimer, log
 
@@ -130,9 +131,7 @@ class Trainer:
         # (tests/test_parity_and_sharding.py::test_packed_train_step_matches_fast).
         self._use_packed = (
             use_fast
-            and (self.args.get("dst_train") or {}).get("dataset")
-            in ("Raw_Dataset", "IMX686_Raw_Dataset",
-                "SFRN_Dataset", "IMX686_SFRN_Raw_Dataset")
+            and bool((self.args.get("dst_train") or {}).get("dataset"))
             and not self.args.get("disable_packed_step", False)
         )
         self.train_step = make_train_step(
@@ -232,7 +231,8 @@ class Trainer:
                                    mode="sample")
 
             rng_range = (100.0, 300.0) if cam == "SonyA7S2" else (1.0, 16.0)
-            return make_proxy_synth(sample_fn, ori=ori, ratio_range=rng_range)
+            synth = make_proxy_synth(sample_fn, ori=ori, ratio_range=rng_range)
+            return pack_synth(synth) if self._use_packed else synth
         if name in ("Mix_Dataset", "IMX686_Mix_Dataset"):
             command = self.dst.get("command", "augv5")
             hbr_map = None
@@ -245,7 +245,8 @@ class Trainer:
                 hbr = HighBitRecovery(camera_type=cam, noise_code=code)
                 hbr.get_lut([iso])
                 hbr_map = lambda k, x: hbr.map(k, x, iso=iso)
-            return make_mix_synth(cam, command, ori=ori, hbr_map=hbr_map)
+            synth = make_mix_synth(cam, command, ori=ori, hbr_map=hbr_map)
+            return pack_synth(synth) if self._use_packed else synth
         if name in ("SFRN_Dataset", "IMX686_SFRN_Raw_Dataset"):
             # black-frame mode: shot-only synthesis (noise_code+'b') on the GT
             # plus the real bias-frame read-noise layer, matching the
@@ -266,6 +267,8 @@ class Trainer:
                 return lr_shot + read_layer, hr, ratio
 
             return synth
+        if getattr(self, "_use_packed", False):
+            return pack_synth(identity_synth)
         return identity_synth
 
     def _try_restore(self):
