@@ -436,7 +436,9 @@ class SFRNDataset(BaseRawDataset):
         iso = int(self.legal_iso[self.rng.integers(len(self.legal_iso))])
         if self.blacks:
             files = self.blacks[iso]
-            lr_raw = np.asarray(dataload(files[self.rng.integers(len(files))]))
+            # 'lr10': restrict to the first 10 bias frames (syn_datasets.py:530)
+            n_pick = min(10, len(files)) if "lr10" in self.args["command"] else len(files)
+            lr_raw = np.asarray(dataload(files[self.rng.integers(n_pick)]))
             black = self.pack(lr_raw.reshape(self.H, self.W), clip=False)
         else:
             black = np.zeros_like(hr)

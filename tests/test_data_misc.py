@@ -70,3 +70,36 @@ def test_mixed_subset_rates(tmp_path):
     mix = MixedSubsetDataset(base, extra, extra_rate=4)
     assert len(mix) == len(base) + 1
     assert mix[0]["hr"].shape == mix[len(base)]["hr"].shape
+
+
+def test_sfrn_lr10_limits_bias_pick(tmp_path, monkeypatch):
+    """'lr10' restricts bias-frame choice to the first 10 files
+    (reference: syn_datasets.py:530)."""
+    import numpy as np
+    from pnnp_tpu.data.datasets import SFRNDataset
+    from tests.test_train_data import make_sid_fixture
+
+    monkeypatch.chdir(tmp_path)
+    make_sid_fixture(tmp_path, n_scenes=1, H=32, W=48)
+    rng = np.random.default_rng(0)
+    bias_dir = tmp_path / "bias" / "1600"
+    bias_dir.mkdir(parents=True)
+    # first 10 frames ~0 post-BL; the rest carry a huge marker offset
+    for j in range(15):
+        val = 512.0 if j < 10 else 9000.0
+        np.save(str(bias_dir / f"b{j:02d}.npy"), np.full((32, 48), val, np.float32))
+
+    args = dict(dataset="SFRN_Dataset", mode="train", dstname="SID",
+                camera_type="SonyA7S2", noise_code="pgrq", patch_size=8,
+                H=32, W=48, crop_per_image=1, croptype="random_crop",
+                wp=16383, bl=512, ori=False, clip=2, command="HB, lr10",
+                infos_dir=str(tmp_path / "infos"), bias_dir=str(tmp_path / "bias"))
+    ds = SFRNDataset(args, seed=3)
+    for i in range(20):
+        d = ds[i % len(ds)]
+        # marker frames (>0.5 normalized) must never be picked
+        assert float(np.abs(d["lr"]).max()) < 0.5
+    ds2 = SFRNDataset(dict(args, command="HB"), seed=3)
+    seen_marker = any(float(np.abs(ds2[i % len(ds2)]["lr"]).max()) > 0.4
+                      for i in range(40))
+    assert seen_marker
