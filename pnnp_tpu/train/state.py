@@ -19,9 +19,19 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
-def make_adam_direction(beta1: float = 0.9, beta2: float = 0.999) -> optax.GradientTransformation:
-    """Adam *direction* (descent, unit lr); the step scales it by lr(epoch)."""
-    return optax.chain(optax.scale_by_adam(b1=beta1, b2=beta2), optax.scale(-1.0))
+def make_adam_direction(beta1: float = 0.9, beta2: float = 0.999,
+                        clip_norm: float | None = None) -> optax.GradientTransformation:
+    """Adam *direction* (descent, unit lr); the step scales it by lr(epoch).
+
+    ``clip_norm`` prepends global-norm gradient clipping — use for density
+    models (proxy / NoiseFlow NLL), whose tail terms can spike the gradient
+    and diverge the quantile scales at fixed lr (observed: proxy KLD
+    0.05 -> 2.1 between steps 200-400 without clipping).
+    """
+    steps = [optax.scale_by_adam(b1=beta1, b2=beta2), optax.scale(-1.0)]
+    if clip_norm is not None:
+        steps.insert(0, optax.clip_by_global_norm(clip_norm))
+    return optax.chain(*steps)
 
 
 def create_train_state(rng: jax.Array, model, example_input, **adam_kw) -> TrainState:

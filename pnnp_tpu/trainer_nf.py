@@ -125,7 +125,10 @@ class NFTrainer:
         self.state = TrainState.create(
             apply_fn=self.model.apply,
             params=variables["params"],
-            tx=make_adam_direction(),
+            # opt-in global-norm gradient clipping via hyper.clip_norm
+            tx=make_adam_direction(
+                clip_norm=(float(self.hyper["clip_norm"])
+                           if self.hyper.get("clip_norm") else None)),
             batch_stats=variables.get("batch_stats", {}),
         )
         self.lr_schedule = build_lr_schedule(self.hyper)
