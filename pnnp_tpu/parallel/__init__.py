@@ -4,4 +4,5 @@ from pnnp_tpu.parallel.mesh import (
     replicate,
     make_sharded_train_step,
     spatial_eval,
+    spatial_eval_auto,
 )

@@ -30,10 +30,18 @@ def make_mesh(n_data: Optional[int] = None, n_spatial: int = 1, devices=None) ->
     return Mesh(devices, ("data", "spatial"))
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a host batch with leading dim sharded over the data axis."""
+def shard_batch(mesh: Mesh, batch, batch_dim_size: Optional[int] = None):
+    """Place a host batch with leading dim sharded over the data axis.
+
+    ``batch_dim_size``: when given, only arrays whose dim 0 equals it are
+    sharded; everything else (per-sample metadata with odd collation, e.g.
+    ccm matrices) is replicated.
+    """
     def put(x):
-        spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
+        sharded = getattr(x, "ndim", 0) >= 1 and (
+            batch_dim_size is None or x.shape[0] == batch_dim_size
+        )
+        spec = P("data") if sharded else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, batch)
@@ -109,3 +117,34 @@ def spatial_eval(mesh: Mesh, apply_fn, image: jnp.ndarray, halo: int = 32):
         out_specs=P(None, None, "spatial", None),
     )
     return fn(image)
+
+
+def spatial_eval_auto(mesh: Mesh, apply_fn, image: jnp.ndarray,
+                      halo: int = 96, align: int = 16):
+    """Production wrapper around :func:`spatial_eval` for arbitrary frames.
+
+    Reflect-pads H to a multiple of ``align`` and W to a multiple of
+    ``nsp * align`` so each width shard (plus its 2*halo columns) is already
+    %align and the model never pads internally, runs the halo-exchanged
+    sharded eval, and crops back. Falls back to plain ``apply_fn`` when the
+    frame is too narrow to shard (local width <= halo) — tiny eval crops in
+    tests, thumbnails.
+
+    With ``halo >= receptive-field radius`` (UNetSeeInDark: ~94 px, so the
+    default 96) the result equals the single-device full-frame eval up to
+    float roundoff (tested in tests/test_spatial_eval.py).
+    """
+    nsp = mesh.shape["spatial"]
+    if nsp == 1:
+        return apply_fn(image)
+    H, W = int(image.shape[1]), int(image.shape[2])
+    Hp = -(-H // align) * align
+    Wp = -(-W // (nsp * align)) * (nsp * align)
+    if Wp // nsp <= halo or Wp - W >= W or Hp - H >= H:
+        return apply_fn(image)
+    img = image
+    if Hp != H or Wp != W:
+        img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)),
+                      mode="reflect")
+    out = spatial_eval(mesh, apply_fn, img, halo=halo)
+    return out[:, :H, :W, :]

@@ -25,7 +25,14 @@ from pnnp_tpu.config import load_runfile
 from pnnp_tpu.data import build_dataset, DataLoader
 from pnnp_tpu.models import build_model, PixelWiseISOProxy, NoiseFlow
 from pnnp_tpu.ops import illuminance_correct, psnr as psnr_fn, ssim as ssim_fn, fast_isp
-from pnnp_tpu.parallel import make_mesh
+from pnnp_tpu.ops.metrics import rgb_quality
+from pnnp_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    replicate,
+    shard_batch,
+    spatial_eval_auto,
+)
 from pnnp_tpu.train import (
     CheckpointManager,
     build_lr_schedule,
@@ -117,7 +124,17 @@ class Trainer:
             self.dataset_eval = build_dataset(self.dst_eval, seed=seed)
 
         # --- mesh + steps --------------------------------------------------
+        # Training: all devices on the 'data' axis (gradients psum'ed by XLA,
+        # the SPMD analog of the reference's DataParallel wrap,
+        # base_trainer.py:115-118). Eval: all devices on 'spatial' — full
+        # frames width-sharded with halo exchange over ICI.
         self.mesh = make_mesh()
+        self.n_data = self.mesh.shape["data"]
+        n_dev = jax.device_count()
+        self.spatial_halo = int(self.args.get("spatial_halo", 96))
+        self.mesh_spatial = (
+            make_mesh(n_data=1, n_spatial=n_dev) if n_dev > 1 else None
+        )
         # UNetSeeInDark trains/evals through the exact dense-s2d fast path
         # (3x train step, 1.5x eval on v5e; gradient parity tested).
         use_fast = (
@@ -140,7 +157,11 @@ class Trainer:
             deep_supervision=bool(self.arch.get("use_dpsv", False)),
             fast="packed" if self._use_packed else use_fast,
         )
+        self._base_train_step = self.train_step  # unsharded (parity tests)
+        if self.n_data > 1:
+            self.train_step = make_sharded_train_step(self.mesh, self.train_step)
         self.eval_step = make_eval_step(self.model, fast=use_fast)
+        self._place_state()
 
         # --- meters --------------------------------------------------------
         self.train_psnr = AverageMeter("PSNR", ":2f")
@@ -271,6 +292,41 @@ class Trainer:
             return pack_synth(identity_synth)
         return identity_synth
 
+    def _place_state(self):
+        """Replicate the train state across the data mesh (no-op on 1 device).
+
+        Called after init and every checkpoint (re)load so restored params —
+        which land as single-device arrays — get the replicated sharding the
+        donated sharded step expects."""
+        if getattr(self, "n_data", 1) > 1:
+            self.state = replicate(self.mesh, self.state)
+
+    def _place_batch(self, batch: dict):
+        """Host batch -> device: sharded over 'data' when the mesh has >1
+        device (wrap-padding a partial final batch to a multiple of n_data,
+        like DataParallel's uneven scatter), plain transfer otherwise."""
+        if self.n_data <= 1:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        n = len(batch.get("hr", next(iter(batch.values()))))
+        pad = (-n) % self.n_data
+        if pad:
+            idx = np.arange(n + pad) % n
+            batch = {
+                k: (np.asarray(v)[idx] if np.asarray(v).shape[:1] == (n,) else v)
+                for k, v in batch.items()
+            }
+        return shard_batch(self.mesh, batch, batch_dim_size=n + pad)
+
+    def _forward_full(self, lr):
+        """Full-frame denoise: width-sharded with halo exchange over the
+        spatial mesh when >1 device, single-device eval step otherwise."""
+        if self.mesh_spatial is not None:
+            return spatial_eval_auto(
+                self.mesh_spatial, lambda t: self.eval_step(self.state, t),
+                lr, halo=self.spatial_halo,
+            )
+        return self.eval_step(self.state, lr)
+
     def _try_restore(self):
         restored = self.ckpt.restore("best" if self.mode != "train" else "last")
         if restored is not None:
@@ -285,6 +341,7 @@ class Trainer:
     def load_torch_checkpoint(self, path: str):
         loaded = load_any(path)
         self.state = self.state.replace(params=jax.tree.map(jnp.asarray, loaded["params"]))
+        self._place_state()
         log(f"Loaded torch checkpoint {path}")
 
     # ------------------------------------------------------------------
@@ -309,10 +366,10 @@ class Trainer:
                 for batch in loader:
                     self.timer.tick("loader")
                     rng, step_key = jax.random.split(rng)
-                    dev_batch = {
-                        k: jnp.asarray(v) for k, v in batch.items()
+                    dev_batch = self._place_batch({
+                        k: v for k, v in batch.items()
                         if isinstance(v, np.ndarray) and v.dtype != object
-                    }
+                    })
                     self.state, metrics = self.train_step(self.state, dev_batch, step_key, epoch)
                     self.timer.tick("net")
                     self.train_psnr.update(float(metrics["psnr"]))
@@ -353,6 +410,7 @@ class Trainer:
                     self.state = self.state.replace(
                         params=jax.tree.map(jnp.asarray, restored["params"])
                     )
+                    self._place_state()
                     log("Period boundary: reloaded best checkpoint")
 
     # ------------------------------------------------------------------
@@ -371,6 +429,7 @@ class Trainer:
 
         brightness_correct = bool(self.args.get("brightness_correct", True))
         ori = bool(self.dst_eval.get("ori", self.dst.get("ori", False)))
+        self.rgb_metrics = bool(self.args.get("rgb_metrics", False))
 
         loader = DataLoader(self.dataset_eval, batch_size=1, shuffle=False,
                             num_workers=0 if self.debug else 2)
@@ -380,7 +439,7 @@ class Trainer:
             ratio = jnp.asarray(batch["ratio"]).reshape(-1, 1, 1, 1)
             name = batch["name"][0] if isinstance(batch["name"], list) else batch["name"]
 
-            dn = self.eval_step(self.state, lr)
+            dn = self._forward_full(lr)
             if ori:
                 lr = lr * ratio
                 dn = dn * ratio
@@ -398,12 +457,30 @@ class Trainer:
             self.eval_ssim.update(s)
             metrics[name] = [p, s]
             if self.save_plot:
-                p_in = float(psnr_fn(in255, tgt255))
-                s_in = float(ssim_fn(in255, tgt255))
+                # The reference's ACTIVE path fills psnrs_lr/psnrs_dn with
+                # raw-domain numbers: both plot branches pass res=raw_metrics
+                # into plot_sample (trainer_SID.py:277,339 + visualization.py:
+                # 64-66), so the rawpy sRGB render is figure-only. The RGB
+                # variant exists upstream but is commented out
+                # (trainer_SID.py:272); `rgb_metrics: true` enables it here,
+                # computed through the device ISP instead of rawpy.
+                if self.rgb_metrics:
+                    hrc = jnp.clip(hr, 0, 1)
+                    wb, ccm = self._sample_wb_ccm(batch)
+                    p_in, s_in = rgb_quality(lr[0], hrc[0], wb, ccm)
+                    p_dn, s_dn = rgb_quality(dn[0], hrc[0], wb, ccm)
+                    p_in, s_in = float(p_in), float(s_in)
+                    p_dn, s_dn = float(p_dn), float(s_dn)
+                    if epoch < 0:
+                        metrics[name] = [p_dn, s_dn]
+                else:
+                    p_in = float(psnr_fn(in255, tgt255))
+                    s_in = float(ssim_fn(in255, tgt255))
+                    p_dn, s_dn = p, s
                 self.eval_psnr_lr.update(p_in)
                 self.eval_ssim_lr.update(s_in)
-                self.eval_psnr_dn.update(p)
-                self.eval_ssim_dn.update(s)
+                self.eval_psnr_dn.update(p_dn)
+                self.eval_ssim_dn.update(s_dn)
                 if epoch < 0:
                     self._plot_sample(lr[0], dn[0], hr[0], batch, name, epoch)
             log(f"[{k + 1}/{len(loader)}] {name}: PSNR={p:.2f} SSIM={s:.4f}")
@@ -420,6 +497,17 @@ class Trainer:
             with open(metrics_path, "wb") as f:
                 pickle.dump(metrics, f)
 
+    @staticmethod
+    def _sample_wb_ccm(batch):
+        """Per-sample WB gains + CCM from a batch-of-1 eval batch."""
+        wb = np.asarray(batch.get("wb", np.array([2.0, 1.0, 1.6, 1.0])), np.float32)
+        if wb.ndim > 1:
+            wb = wb[0]
+        ccm = batch.get("ccm")
+        if ccm is not None:
+            ccm = np.asarray(ccm, np.float32).reshape(-1, 3, 3)[0]
+        return wb, ccm
+
     def _plot_sample(self, lr, dn, hr, batch, name, epoch):
         """3-panel comparison via the on-device ISP (reference used rawpy +
         matplotlib in a process pool, trainer_SID.py:273-279)."""
@@ -430,10 +518,8 @@ class Trainer:
             import matplotlib.pyplot as plt
         except ImportError:
             return
-        wb = np.asarray(batch.get("wb", np.array([2.0, 1.0, 1.6, 1.0])))
-        if wb.ndim > 1:
-            wb = wb[0]
-        imgs = [np.asarray(fast_isp(x, wb=wb)) for x in (lr, dn, hr)]
+        wb, ccm = self._sample_wb_ccm(batch)
+        imgs = [np.asarray(fast_isp(x, wb=wb, ccm=ccm)) for x in (lr, dn, hr)]
         fig, axes = plt.subplots(1, 3, figsize=(15, 5))
         for ax, img, title in zip(axes, imgs, ("noisy", "denoised", "gt")):
             ax.imshow(np.clip(img, 0, 1))
@@ -455,7 +541,7 @@ class Trainer:
         loader = DataLoader(dataset, batch_size=1, shuffle=False, num_workers=0)
         for k, batch in enumerate(loader):
             lr = jnp.asarray(batch["lr"])
-            dn = jnp.clip(self.eval_step(self.state, lr), 0, 1)
+            dn = jnp.clip(self._forward_full(lr), 0, 1)
             name = batch["name"][0] if isinstance(batch["name"], list) else str(batch["name"])
             np.save(os.path.join(out_dir, f"{name}_dn.npy"), np.asarray(dn[0]))
             if self.save_plot:

@@ -178,6 +178,71 @@ def test_packed_raw_synth_shapes_and_stats():
     assert abs(float(lr_p.std()) / float(lr_u.std()) - 1.0) < 0.05
 
 
+def _make_trainer(tmp_path, **kw):
+    import yaml
+
+    from pnnp_tpu.data.fixtures import make_sid_fixture, make_sid_runfile
+    from pnnp_tpu.trainer import Trainer
+
+    make_sid_fixture(tmp_path, n_scenes=4)
+    runfile = make_sid_runfile(tmp_path, batch_size=4, **kw)  # x2 crops = 8
+    path = str(tmp_path / "run.yml")
+    with open(path, "w") as f:
+        yaml.safe_dump(runfile, f)
+    return Trainer(path, mode="train", nofig=True, debug=True)
+
+
+@pytest.mark.slow
+def test_trainer_sharded_step_matches_base(tmp_path, monkeypatch):
+    """The PRODUCTION Trainer's data-parallel step (mesh-sharded batch,
+    psum by XLA) computes the same update as its unsharded base step."""
+    monkeypatch.chdir(tmp_path)
+    from pnnp_tpu.data import DataLoader
+
+    t = _make_trainer(tmp_path)
+    assert t.n_data == 8, "conftest should expose 8 virtual devices"
+
+    loader = DataLoader(t.dataset_train, batch_size=4, shuffle=True,
+                        num_workers=0, seed=t.seed)
+    loader.set_epoch(1)
+    batch = next(iter(loader))
+    host = {k: v for k, v in batch.items()
+            if isinstance(v, np.ndarray) and v.dtype != object}
+    n = len(next(iter(host.values())))
+    assert n % t.n_data == 0, "test batch must split evenly for exact parity"
+    key = jax.random.key(7)
+
+    from pnnp_tpu.parallel import replicate
+
+    s1 = jax.tree.map(jnp.array, t.state)
+    s2 = replicate(t.mesh, jax.tree.map(jnp.array, t.state))
+    s1, m1 = t._base_train_step(s1, {k: jnp.asarray(v) for k, v in host.items()},
+                                key, 1)
+    s2, m2 = t.train_step(s2, t._place_batch(host), key, 1)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # bf16 packed step: cross-device psum reduction order differs.
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_trainer_spatial_eval_matches_single_device(tmp_path, monkeypatch):
+    """Trainer._forward_full (width-sharded, halo=96 >= UNet receptive field)
+    equals the plain single-device eval step on a full frame."""
+    monkeypatch.chdir(tmp_path)
+    t = _make_trainer(tmp_path)
+    nsp = t.mesh_spatial.shape["spatial"]
+    frame = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (1, 32, 128 * nsp, 4)).astype(np.float32)
+    )
+    full = t.eval_step(t.state, frame)
+    sharded = t._forward_full(frame)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               rtol=2e-3, atol=2e-3)  # bf16 fast eval path
+
+
 def test_sharded_packed_step_matches_single_device():
     """The packed production step composes with the data-parallel mesh:
     sharded result == single-device result."""

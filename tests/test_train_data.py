@@ -87,30 +87,9 @@ def test_dpsv_loss_shapes():
 
 
 # ---------------------------------------------------------------- data layer
-def make_sid_fixture(tmp_path, n_scenes=3, H=32, W=48):
-    """Tiny synthetic SID tree: npy mosaics + reference-format info pickle."""
-    rng = np.random.default_rng(0)
-    infos = []
-    os.makedirs(tmp_path / "infos", exist_ok=True)
-    for i in range(n_scenes):
-        long_path = str(tmp_path / f"{i:05d}_00_10s.npy")
-        np.save(long_path, rng.integers(512, 16383, (H, W)).astype(np.float32))
-        shorts, ratios = [], []
-        for j, r in enumerate([100, 250, 300]):
-            sp = str(tmp_path / f"{i:05d}_{j:02d}_short.npy")
-            np.save(sp, rng.integers(400, 2000, (H, W)).astype(np.float32))
-            shorts.append(sp)
-            ratios.append(r)
-        infos.append({
-            "name": f"{i:05d}_00", "long": long_path, "short": shorts,
-            "ratio": ratios, "ISO": 1600, "ExposureTime": 10.0,
-            "wb": np.array([2.0, 1.0, 1.5, 1.0], np.float32),
-            "ccm": np.eye(3, dtype=np.float32),
-        })
-    for mode in ("train", "eval", "evaltest"):
-        with open(tmp_path / "infos" / f"SID_{mode}.info", "wb") as f:
-            pickle.dump([dict(e, short=list(e["short"]), ratio=list(e["ratio"])) for e in infos], f)
-    return infos
+# Shared with the driver dryrun (pnnp_tpu/data/fixtures.py); re-exported here
+# because several test modules import it from this one.
+from pnnp_tpu.data.fixtures import make_sid_fixture  # noqa: E402,F401
 
 
 def test_sid_dataset_train(tmp_path):
