@@ -78,3 +78,23 @@ def quality_assess(x: jnp.ndarray, y: jnp.ndarray, data_range: float = 255.0) ->
     (reference: utils/visualization.py:26-33)
     """
     return {"PSNR": psnr(x, y, data_range), "SSIM": ssim(x, y, data_range)}
+
+
+def rgb_quality(out4c: jnp.ndarray, tgt4c: jnp.ndarray, wb=None, ccm=None):
+    """sRGB-domain PSNR/SSIM of a packed-RGBG pair via the device ISP.
+
+    Both images are rendered through :func:`pnnp_tpu.ops.isp.fast_isp` (WB ->
+    demosaic -> CCM -> gamma, the device analog of the reference's
+    ``raw2rgb_rawpy``) and scored at data_range=255 with uint8 quantization —
+    the reference's disabled "RGB metrics" eval option
+    (trainer_SID.py:272 ``# raw_metrics = None # 用RGB metrics`` +
+    visualization.py:57-63), computed fully on-device.
+
+    Returns (psnr, ssim) as device scalars; inputs are [h, w, 4] in [0, 1].
+    """
+    from pnnp_tpu.ops.isp import fast_isp
+
+    # uint8 truncation like the reference's scale_up (visualization.py:6-7)
+    a = jnp.floor(jnp.clip(fast_isp(out4c, wb=wb, ccm=ccm), 0, 1) * 255.0)
+    b = jnp.floor(jnp.clip(fast_isp(tgt4c, wb=wb, ccm=ccm), 0, 1) * 255.0)
+    return psnr(a, b), ssim(a, b)

@@ -105,3 +105,49 @@ def test_vst_roundtrip():
     y = vst(x, sigma, gain=gain)
     x2 = inverse_vst(y, sigma, gain=gain)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
+def test_rgb_quality_matches_numpy_isp_oracle():
+    """rgb_quality (device ISP render + PSNR/SSIM) vs a full independent
+    NumPy pipeline: WB -> mosaic -> bilinear demosaic -> CCM -> gamma ->
+    uint8 -> skimage-style metrics (the reference's disabled RGB-metrics
+    eval option, trainer_SID.py:272)."""
+    from scipy.signal import convolve2d
+
+    from pnnp_tpu.ops.metrics import rgb_quality
+    from pnnp_tpu.ops.isp import SONY_CCM
+
+    rng = np.random.default_rng(11)
+    h, w = 24, 32
+    a4 = rng.uniform(0, 1, (h, w, 4)).astype(np.float32)
+    b4 = np.clip(a4 + rng.normal(0, 0.05, a4.shape), 0, 1).astype(np.float32)
+    wb = np.array([1.9, 1.0, 1.7, 1.0], np.float32)
+    ccm = np.asarray(SONY_CCM)
+
+    def np_isp(img4c):
+        x = np.clip(img4c * np.array([wb[0], 1, wb[2], 1], np.float32), 0, 1)
+        # RGBG [R,G1,B,G2] -> 2x2 cells [R,G1,G2,B] -> mosaic
+        cells = x[..., [0, 1, 3, 2]].reshape(h, w, 2, 2)
+        mosaic = np.moveaxis(cells, 2, 1).reshape(2 * h, 2 * w)
+        ii, jj = np.mgrid[0 : 2 * h, 0 : 2 * w]
+        r_m = ((ii % 2 == 0) & (jj % 2 == 0)).astype(np.float64)
+        b_m = ((ii % 2 == 1) & (jj % 2 == 1)).astype(np.float64)
+        g_m = 1.0 - r_m - b_m
+        k_g = np.array([[0, 1, 0], [1, 4, 1], [0, 1, 0]], np.float64) / 4
+        k_rb = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], np.float64) / 4
+        conv = lambda im, k: convolve2d(im, k, mode="same")
+        r = conv(mosaic * r_m, k_rb) / np.maximum(conv(r_m, k_rb), 1e-8)
+        g = conv(mosaic * g_m, k_g) / np.maximum(conv(g_m, k_g), 1e-8)
+        b = conv(mosaic * b_m, k_rb) / np.maximum(conv(b_m, k_rb), 1e-8)
+        rgb = np.stack([r, g, b], -1) @ ccm.T
+        srgb = np.clip(rgb, 0, 1) ** (1 / 2.2)
+        return np.floor(np.clip(srgb, 0, 1) * 255.0)
+
+    ia, ib = np_isp(a4), np_isp(b4)
+    p_ref = oracle_psnr(ia, ib)
+    s_ref = oracle_ssim(ia, ib)
+
+    p, s = rgb_quality(jnp.asarray(a4), jnp.asarray(b4), wb=jnp.asarray(wb),
+                       ccm=jnp.asarray(ccm))
+    assert abs(float(p) - p_ref) < 5e-2, (float(p), p_ref)
+    assert abs(float(s) - s_ref) < 1e-3, (float(s), s_ref)

@@ -104,6 +104,8 @@ def test_eval_log_format_matches_reference(tmp_path, monkeypatch):
     runfile = {
         "mode": "eval", "checkpoint": "saved_model/T", "fast_ckpt": "checkpoints/T",
         "model_name": "FMT_Unet", "num_workers": 0, "brightness_correct": True,
+        # exercise the opt-in device-ISP RGB meters (trainer_SID.py:272)
+        "rgb_metrics": True,
         "dst": {"dataset": "SID_Dataset", "dstname": "SID", "command": "",
                 "camera_type": "SonyA7S2", "noise_code": "pr", "patch_size": 8,
                 "H": 32, "W": 48, "crop_per_image": 1, "croptype": "random_crop",
