@@ -1,0 +1,267 @@
+"""Pallas TPU kernels: fused s2d block-form conv chains for UNetSeeInDark.
+
+Why (measured on v5e, tools/profile_ablate.py): in the packed hybrid forward
+(`models/unet_s2d.py`) the level-1 dense-s2d convs already run at 144-191
+TFLOP/s — XLA leaves nothing on the table *per FLOP* — but the dense-s2d
+kernel form pays 4x structural-zero FLOPs, and the narrow-lane glue around
+them (`upv9` 1x1: 1.9 ms, group_max: 2.1 ms, head einsum) is relayout-bound.
+The exact 2x2-block s2d form pays only 1.78x FLOPs, but in XLA its per-group
+shifted slices cost ~5.7 ms/conv in lane shuffles.
+
+These kernels evaluate the block form with the group-select done in VMEM as
+*lane-preserving masked shifted adds* (output group g keeps lane block g —
+only sublane/minor offsets change), which the VPU does for free. Fused per
+tile, so the inter-layer tensors never touch HBM:
+
+  fused_tail:  c8, c1g -> head output   (upv9 1x1 folded into conv9_1's
+               up-path block kernel via an appended ones-channel; conv9_1,
+               conv9_2 block-form; block-diagonal 1x1 head)
+  fused_head:  g1 -> c1g, p1            (conv1_1 + conv1_2 block-form;
+               group_max via lane rolls)
+
+Math of the block form (see `unet_s2d._transform_conv3_kernel`, reference
+construction `unet_s2d._s2d_conv_pre`): a 3x3 SAME conv on [H,W,C] equals, on
+the s2d tensor g=[H/2,W/2,4C], O = conv2x2_VALID(pad1(g), Kp) followed by
+  out[y, x, gBlock] = O[y + a_h(g), x + a_w(g), gBlock],   g = 2*a_h + a_w,
+and bias-add + LeakyReLU commute with that selection (per-lane bias, lanes
+unmoved), so each stage finalizes O before selecting.
+
+Boundary semantics: callers pre-pad inputs with zeros (SAME-conv halo); the
+kernel zero-masks the intermediate h9 outside the frame because
+lrelu(0 + bias) != 0 (`_inside_mask`). Mosaic's `Element` block dims provide
+the overlapping halo windows (low padding unsupported on this libtpu, hence
+the XLA-side pre-pad).
+
+Used by `unet_s2d.unet_fused_forward_packed`; exactness vs the XLA hybrid
+path is covered by tests/test_kernels.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax._src.pallas import core as pallas_core
+
+from pnnp_tpu.models.unet_s2d import _transform_conv3_kernel
+
+DT = jnp.bfloat16
+
+# Output-group spatial offsets of the block-form selection: group g = 2ah+aw
+_AP = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def _elem(sizes):
+    return tuple(pallas_core.Element(s, (0, 0)) for s in sizes)
+
+
+def _lane_masks(n_groups: int, block: int, dtype):
+    """[n_groups, 1, 1, n_groups*block] 0/1 masks selecting lane block g."""
+    lanes = n_groups * block
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lanes), 2)
+    return [
+        (lane // block == g).astype(dtype).reshape(1, 1, lanes)
+        for g in range(n_groups)
+    ]
+
+
+def _bconv(x_slices, rows, cols):
+    """One 2x2 block-form conv: O[r, c] = sum_t x[r+p, c+q] @ Kp[t].
+
+    ``x_slices``: list of (read_fn, kp_ref) pairs — read_fn(p, q, rows, cols)
+    returns the [rows, cols, Cin] window shifted by tap (p, q); multiple
+    pairs accumulate (the dual-input conv9_1). Returns f32 [rows, cols, Cout].
+    """
+    acc = None
+    for read, kp_ref in x_slices:
+        for t, (p, q) in enumerate(_AP):
+            a = read(p, q, rows, cols)
+            r = jax.lax.dot_general(
+                a, kp_ref[t],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = r if acc is None else acc + r
+    return acc
+
+
+def _select(o_ref, masks, rows, cols):
+    """out[r, c] = sum_g mask_g * O[r + a_h(g), c + a_w(g)] (lanes unmoved)."""
+    out = None
+    for g, (ah, aw) in enumerate(_AP):
+        term = o_ref[ah : ah + rows, aw : aw + cols, :] * masks[g]
+        out = term if out is None else out + term
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fused_tail: (c8e, c1g) -> packed head output [*, 16]
+# ---------------------------------------------------------------------------
+
+
+def _tail_kernel(c8_ref, c1g_ref, kf_ref, kb_ref, k92_ref, scal_ref, khb_ref,
+                 o_ref, o1_s, h9_s, *, th, tw, H, W, slope):
+    """Column geometry: every MXU dot uses width DW = tw+8 (a 16-multiple —
+    Mosaic's reshape-for-dot needs 16-aligned bf16 collapse widths); scratch
+    buffers are DW+8 wide so width-DW reads at offsets {0,1} stay in bounds.
+    Columns right of the mathematically-needed region carry finite garbage
+    that provably never migrates left into the selected output columns (each
+    stage shifts columns by at most 1)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dw = tw + 8
+    masks = _lane_masks(4, 32, jnp.float32)
+    b91 = scal_ref[0:1, :].astype(jnp.float32).reshape(1, 1, 128)
+    b92 = scal_ref[1:2, :].astype(jnp.float32).reshape(1, 1, 128)
+    bh = scal_ref[2:3, :].astype(jnp.float32).reshape(1, 1, 128)
+
+    # stage 1: O1 rows [-1 .. th+1] (scratch row 0 = global row i*th-1)
+    r1 = th + 3
+    read8 = lambda p, q, r, c: c8_ref[p : p + r, q : q + c, :]
+    read1g = lambda p, q, r, c: c1g_ref[p : p + r, q : q + c, :]
+    o1 = _bconv([(read8, kf_ref), (read1g, kb_ref)], r1, dw) + b91
+    o1 = jnp.where(o1 >= 0, o1, o1 * slope)
+    o1_s[:, :dw, :] = o1.astype(DT)
+
+    # stage 2: h9 rows [-1 .. th], zero outside the frame
+    r2 = th + 2
+    h9 = _select(o1_s, masks, r2, dw + 1)
+    gy = jax.lax.broadcasted_iota(jnp.int32, (r2, dw + 1, 1), 0) + (i * th - 1)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (r2, dw + 1, 1), 1) + (j * tw - 1)
+    inside = (gy >= 0) & (gy < H) & (gx >= 0) & (gx < W)
+    h9_s[:, : dw + 1, :] = jnp.where(inside, h9, 0.0).astype(DT)
+
+    # stage 3: O2 rows [0 .. th]
+    r3 = th + 1
+    read9 = lambda p, q, r, c: h9_s[p : p + r, q : q + c, :]
+    o2 = _bconv([(read9, k92_ref)], r3, dw) + b92
+    o2 = jnp.where(o2 >= 0, o2, o2 * slope)
+    o1_s[:r3, :dw, :] = o2.astype(DT)  # reuse stage-1 scratch (dead)
+
+    # stage 4: c9 select + block-diagonal head
+    c9 = _select(o1_s, masks, th, dw).astype(DT)
+    out = jax.lax.dot_general(
+        c9, khb_ref[:, :], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bh
+    o_ref[:, :, :] = out[:, :tw, :16].astype(o_ref.dtype)
+
+
+def tail_weights(params: dict, dtype: Any = DT) -> dict:
+    """Derive fused-tail weights from a *standard* UNetSeeInDark param tree.
+
+    Folds upv9's 1x1 s2d form (+bias, via an appended ones-channel at index
+    64) into the block-form up-path kernels of conv9_1; builds block forms of
+    conv9_1's skip path and conv9_2; block-diagonal head. nf=32 only (the
+    flagship shape — lane blocks of 32 over 128 lanes).
+    """
+    import numpy as np  # init-time only
+
+    np32 = lambda x: np.asarray(jax.device_get(x), np.float32)
+
+    k91 = np32(params["conv9_1"]["kernel"])        # [3,3,64,32] (up | skip)
+    b91 = np32(params["conv9_1"]["bias"])          # [32]
+    k92 = np32(params["conv9_2"]["kernel"])        # [3,3,32,32]
+    b92 = np32(params["conv9_2"]["bias"])
+    kt = np32(params["upv9"]["kernel"])            # [2,2,64,32] ConvTranspose
+    bup = np32(params["upv9"]["bias"])             # [32]
+    kh = np32(params["conv10_1"]["kernel"])        # [1,1,32,out]
+    bh = np32(params["conv10_1"]["bias"])
+
+    kp_up = np.asarray(
+        _transform_conv3_kernel(jnp.asarray(k91[:, :, :32]))).reshape(4, 128, 128)
+    kp_sk = np.asarray(
+        _transform_conv3_kernel(jnp.asarray(k91[:, :, 32:]))).reshape(4, 128, 128)
+    kp_92 = np.asarray(
+        _transform_conv3_kernel(jnp.asarray(k92))).reshape(4, 128, 128)
+
+    # upv9's s2d 1x1 form (see transform_params_hybrid): output group (ah,aw)
+    # takes ConvTranspose tap (1-ah, 1-aw); bias rides the ones-channel.
+    w1 = np.concatenate(
+        [kt[1 - ah, 1 - aw] for ah in (0, 1) for aw in (0, 1)], axis=-1
+    )  # [64, 128]
+    w1e = np.zeros((72, 128), np.float32)
+    w1e[:64] = w1
+    w1e[64] = np.tile(bup, 4)
+    kf = np.einsum("cd,tde->tce", w1e, kp_up)      # [4,72,128]
+
+    khb = np.zeros((128, 128), np.float32)         # block-diag head, padded
+    n_out = kh.shape[-1]
+    for g in range(4):
+        khb[g * 32 : (g + 1) * 32, g * n_out : (g + 1) * n_out] = kh[0, 0]
+    bh_t = np.zeros((128,), np.float32)
+    bh_t[: 4 * n_out] = np.tile(bh, 4)
+
+    scal = np.stack([np.tile(b91, 4), np.tile(b92, 4), bh_t])  # [3,128]
+    return {
+        "kf": jnp.asarray(kf, dtype),
+        "kb": jnp.asarray(kp_sk, dtype),
+        "k92": jnp.asarray(kp_92, dtype),
+        "scal": jnp.asarray(scal, jnp.float32),
+        "khb": jnp.asarray(khb, dtype),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw", "interpret"))
+def fused_tail(c8: jnp.ndarray, c1g: jnp.ndarray, w: dict,
+               th: int = 32, tw: int = 136, interpret: bool = False
+               ) -> jnp.ndarray:
+    """(c8 [1,H,W,64], c1g [1,H,W,128]) -> packed head output [1,H,W,16].
+
+    Equals head(conv9_2(conv9_1(upv9(c8) || c1g))) of the XLA hybrid path.
+    """
+    _, H, W, _ = c8.shape
+    interpret = interpret or jax.default_backend() == "cpu"
+    nh, nw = pl.cdiv(H, th), pl.cdiv(W, tw)
+    hp, wp = nh * th, nw * tw
+    # Input windows are (th+4, tw+16): halo 2 each side plus spare cols so
+    # the window (tw+16) and out block (tw) are 8-divisible (Mosaic block
+    # constraint) and width-(tw+8) dot reads at offsets {0,1} stay in bounds.
+    # The ones-channel 64 carries upv9's bias through the fold; zero halo
+    # keeps it exact at the frame boundary.
+    c8e = jnp.pad(c8[0], ((2, hp - H + 2), (2, wp - W + 14), (0, 8)))
+    c8e = c8e.at[2 : H + 2, 2 : W + 2, 64].set(1.0)
+    c1p = jnp.pad(c1g[0], ((2, hp - H + 2), (2, wp - W + 14), (0, 0)))
+
+    kern = functools.partial(_tail_kernel, th=th, tw=tw, H=H, W=W, slope=0.2)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((hp, wp, 16), c8.dtype),
+        grid=(nh, nw),
+        in_specs=[
+            pl.BlockSpec(_elem((th + 4, tw + 16, 72)),
+                         lambda i, j: (i * th, j * tw, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(_elem((th + 4, tw + 16, 128)),
+                         lambda i, j: (i * th, j * tw, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 72, 128), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 128, 128), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 128, 128), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th, tw, 16), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((th + 3, tw + 16, 128), DT),
+            pltpu.VMEM((th + 2, tw + 16, 128), DT),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * W * 4 * (200 * 128 + 128 * 128 + 32 * 128 // 4),
+            bytes_accessed=(c8e.size + c1p.size + hp * wp * 16) * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(c8e.astype(DT), c1p.astype(DT), w["kf"], w["kb"], w["k92"],
+      w["scal"], w["khb"])
+    return out[None, :H, :W, :]

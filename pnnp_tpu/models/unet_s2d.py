@@ -426,6 +426,76 @@ def unet_hybrid_forward_packed(tparams: dict, g1: jnp.ndarray,
     return out
 
 
+def transform_params_fused(params: dict, dtype: Any = jnp.bfloat16) -> dict:
+    """Pre-transform for :func:`unet_fused_forward_packed`: the hybrid tree
+    plus the Pallas fused-tail weights (kernels/s2d_chain.py), built from the
+    same standard UNetSeeInDark param tree."""
+    from pnnp_tpu.kernels.s2d_chain import tail_weights
+
+    out = transform_params_hybrid(params, dtype)
+    out["_tail"] = tail_weights(params, dtype)
+    return out
+
+
+def unet_fused_forward_packed(tparams: dict, g1: jnp.ndarray,
+                              res_x: jnp.ndarray | None = None,
+                              dtype: Any = jnp.bfloat16,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Packed forward with the Pallas fused decoder tail (serving fast path).
+
+    Identical function to :func:`unet_hybrid_forward_packed`; the
+    upv9+conv9_1+conv9_2+head stack runs as one Pallas kernel in the exact
+    2x2-block s2d form (1.78x FLOPs instead of the dense form's 4x, group
+    select in VMEM). Forward-only (no custom VJP): use for eval/serving;
+    training keeps the XLA path.
+    """
+    from pnnp_tpu.kernels.s2d_chain import fused_tail
+
+    k = lambda name: tparams[name]["kernel"]
+    b = lambda name: tparams[name]["bias"]
+    g1 = g1.astype(dtype)
+
+    conv = lambda t, name: _lrelu(
+        jax.lax.conv_general_dilated(
+            t, k(name), (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        + b(name)
+    )
+    up = lambda t, name: jax.lax.conv_transpose(
+        t, k(name), (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b(name)
+    pool = lambda t: jax.lax.reduce_window(
+        t, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+    def dec_conv(up_t, skip, name):
+        kk = k(name)
+        cu = up_t.shape[-1]
+        h = jax.lax.conv_general_dilated(
+            up_t, kk[:, :, :cu], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jax.lax.conv_general_dilated(
+            skip, kk[:, :, cu:], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return _lrelu(h + b(name))
+
+    c1g = conv(conv(g1, "conv1_1"), "conv1_2")
+    p1 = _group_max(c1g)
+    c2 = conv(conv(p1, "conv2_1"), "conv2_2")
+    c3 = conv(conv(pool(c2), "conv3_1"), "conv3_2")
+    c4 = conv(conv(pool(c3), "conv4_1"), "conv4_2")
+    c5 = conv(conv(pool(c4), "conv5_1"), "conv5_2")
+    c6 = conv(dec_conv(up(c5, "upv6"), c4, "conv6_1"), "conv6_2")
+    c7 = conv(dec_conv(up(c6, "upv7"), c3, "conv7_1"), "conv7_2")
+    c8 = conv(dec_conv(up(c7, "upv8"), c2, "conv8_1"), "conv8_2")
+
+    out = fused_tail(c8, c1g, tparams["_tail"], interpret=interpret)
+    if res_x is not None:
+        out = out + res_x.astype(out.dtype)
+    return out
+
+
 def unet_hybrid_forward(tparams: dict, x: jnp.ndarray, res: bool = False,
                         dtype: Any = jnp.bfloat16) -> jnp.ndarray:
     """UNetSeeInDark forward with the dense-s2d level-1 fast path, HWC I/O.
