@@ -32,6 +32,9 @@ class Command:
     def __contains__(self, flag: str) -> bool:
         return flag in self.raw
 
+    def lower(self) -> "Command":
+        return Command(self.raw.lower())
+
     def flags(self) -> set:
         return {f for f in COMMAND_FLAGS if f in self.raw}
 

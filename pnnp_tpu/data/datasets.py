@@ -21,6 +21,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from pnnp_tpu.config import command_of
 from pnnp_tpu.data.crops import CropPlanner
 from pnnp_tpu.data.io import dataload, load_info, pack_raw_np
 from pnnp_tpu.physics.calibration import HALF_CLIP, ISO_TABLES
@@ -51,6 +52,7 @@ class BaseRawDataset:
         self.args = dict(self.DEFAULTS)
         if args:
             self.args.update(args)
+        self.command = command_of(self.args)
         self.rng = np.random.default_rng(seed)
         self.H, self.W = int(self.args["H"]), int(self.args["W"])
         self.h, self.w, self.c = self.H // 2, self.W // 2, 4
@@ -67,11 +69,33 @@ class BaseRawDataset:
 
     # -- corrections -------------------------------------------------------
     def init_darkshading(self):
-        cmd = self.args["command"]
+        cmd = self.command
         if "darkshading" in cmd and self.args.get("ds_dir"):
             self.darkshading = SonyDarkShading(
                 self.args["ds_dir"], naive="++" not in cmd
             )
+
+    # Sony scenes with hot-pixel darkframes (reference: real_datasets.py:241-254).
+    SONY_HOT_IDS = frozenset(
+        set(range(72, 178)) | set(range(183, 210))
+        | set(range(211, 229)) | {230, 231, 232}
+    )
+
+    def hot_check(self, name) -> bool:
+        """True when scene id chars [2:5] of ``name`` are in the hot list
+        (reference: real_datasets.py:241-254)."""
+        try:
+            return int(str(name)[2:5]) in self.SONY_HOT_IDS
+        except ValueError:
+            return False
+
+    def hotfix_lr(self, lr_raw: np.ndarray, name, black_lr: bool = False) -> np.ndarray:
+        """Opt-in 'hotfix' command: +2 ADU on hot-scene shorts after dark
+        shading. The reference carries this correction commented out at its
+        only call site (real_datasets.py:552); off by default for parity."""
+        if "hotfix" in self.command and not black_lr and self.hot_check(name):
+            lr_raw = lr_raw + 2.0
+        return lr_raw
 
     def correct_lr(self, lr_raw: np.ndarray, iso: int, exp: float) -> np.ndarray:
         """Dark-shading / BLC correction on the mosaic (reference: SID getitem)."""
@@ -80,7 +104,7 @@ class BaseRawDataset:
             lr_raw = lr_raw - ds
             if "d" in self.args["noise_code"]:
                 lr_raw = lr_raw + ds.mean()
-            if "darkshading2" in self.args["command"] and self.args["mode"] == "train":
+            if "darkshading2" in self.command and self.args["mode"] == "train":
                 table = ISO_TABLES.get(self.args["camera_type"])
                 if table is not None:
                     i = int(np.argmin(np.abs(table["iso"] - iso)))
@@ -124,7 +148,7 @@ class SIDDataset(BaseRawDataset):
         self.load_infos(f'SID_{self.args["mode"]}.info')
         self.init_darkshading()
         if self.args["mode"] == "train":
-            cmd = self.args["command"].lower()
+            cmd = self.command.lower()
             if "limitediso" in cmd:
                 self.infos = [i for i in self.infos if 400 <= i["ISO"] <= 6400]
             elif "exactiso" in cmd:
@@ -145,7 +169,7 @@ class SIDDataset(BaseRawDataset):
             self.idremap.append(list(groups.values()))
 
     def _pick_lr_id(self, idx):
-        if "idremap" in self.args["command"]:
+        if "idremap" in self.command:
             group = self.idremap[idx][self.rng.integers(len(self.idremap[idx]))]
             return int(group[self.rng.integers(len(group))])
         return int(self.rng.integers(len(self.infos[idx]["ratio"])))
@@ -176,6 +200,7 @@ class SIDDataset(BaseRawDataset):
         hr_raw = np.asarray(dataload(info["long"])).reshape(self.H, self.W)
         lr_raw = np.asarray(dataload(info["short"][lr_id])).reshape(self.H, self.W)
         lr_raw = self.correct_lr(lr_raw, iso, exp_ms / ratio)
+        lr_raw = self.hotfix_lr(lr_raw, info["name"])
 
         lr = self.pack(lr_raw, clip=False)
         hr = self.pack(hr_raw, clip=True)
@@ -360,13 +385,13 @@ class MixDataset(SIDDataset):
         iso = int(info["ISO"])
         exp_ms = float(info["ExposureTime"]) * 1000.0
         black_lr = bool(
-            "HB" in self.args["command"] and self.blacks and not self.rng.integers(4)
+            "HB" in self.command and self.blacks and not self.rng.integers(4)
         )
         hr_raw = np.asarray(dataload(info["long"])).reshape(self.H, self.W)
         if black_lr:
             iso_near = int(self.legal_iso[np.argmin(np.abs(self.legal_iso - iso))])
             files = self.blacks[iso_near]
-            n_pick = min(10, len(files)) if "lr10" in self.args["command"] else len(files)
+            n_pick = min(10, len(files)) if "lr10" in self.command else len(files)
             lr_raw = np.asarray(dataload(files[self.rng.integers(n_pick)]))
             lr_raw = lr_raw.reshape(self.H, self.W)
             ratio = 400.0
@@ -375,6 +400,7 @@ class MixDataset(SIDDataset):
             lr_raw = np.asarray(dataload(info["short"][lr_id])).reshape(self.H, self.W)
             ratio = float(info["ratio"][lr_id])
         lr_raw = self.correct_lr(lr_raw, iso, exp_ms / ratio)
+        lr_raw = self.hotfix_lr(lr_raw, info["name"], black_lr)
 
         lr = self.pack(lr_raw, clip=False)
         hr = self.pack(hr_raw, clip=True)
@@ -383,7 +409,7 @@ class MixDataset(SIDDataset):
         if black_lr:
             planner.replan()
             lr = planner.crop(lr)
-            if "preHB" not in self.args["command"] and "HB" in self.args["command"]:
+            if "preHB" not in self.command and "HB" in self.command:
                 key = jax.random.key(int(self.rng.integers(2**31)))
                 lr = np.asarray(self.hbr.map(key, lr, iso=iso_near))
         else:
@@ -437,7 +463,7 @@ class SFRNDataset(BaseRawDataset):
         if self.blacks:
             files = self.blacks[iso]
             # 'lr10': restrict to the first 10 bias frames (syn_datasets.py:530)
-            n_pick = min(10, len(files)) if "lr10" in self.args["command"] else len(files)
+            n_pick = min(10, len(files)) if "lr10" in self.command else len(files)
             lr_raw = np.asarray(dataload(files[self.rng.integers(n_pick)]))
             black = self.pack(lr_raw.reshape(self.H, self.W), clip=False)
         else:
@@ -446,7 +472,7 @@ class SFRNDataset(BaseRawDataset):
         hr_c = planner.crop(hr)
         planner.replan()
         black_c = planner.crop(black)
-        if "HB" in self.args["command"]:
+        if "HB" in self.command:
             key = jax.random.key(int(self.rng.integers(2**31)))
             black_c = np.asarray(self.hbr.map(key, black_c, iso=iso))
         return {

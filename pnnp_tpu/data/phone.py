@@ -64,7 +64,7 @@ class PhoneBaseDataset(BaseRawDataset):
         self.change_ratio_list(list(self.args["ratio_list"]))
         self._apply_small()
         self.length = len(self.id_remap)
-        if "alldg" in self.args["command"] and self.args["mode"] == "train":
+        if "alldg" in self.command and self.args["mode"] == "train":
             self.lens_extend(True)
         self._init_phone_darkshading()
 
@@ -92,7 +92,7 @@ class PhoneBaseDataset(BaseRawDataset):
             self.id_remap = list(eval_ids)
 
     def _apply_small(self):
-        cmd = self.args["command"]
+        cmd = self.command
         if "small" in cmd and self.args["mode"] == "train":
             div = 0.5 if "small2" in cmd else 0.75 if "small3" in cmd else 0.25
             self.id_remap = self.id_remap[: int(len(self.id_remap) * div)]
@@ -120,7 +120,7 @@ class PhoneBaseDataset(BaseRawDataset):
     # -- corrections ---------------------------------------------------------
     def _init_phone_darkshading(self):
         self.phone_ds = None
-        cmd = self.args["command"]
+        cmd = self.command
         if ("darkshading" in cmd or "blc" in cmd) and self.args.get("ds_dir"):
             try:
                 self.phone_ds = PhoneDarkShading(self.args["ds_dir"], naive="++" not in cmd)
@@ -135,7 +135,7 @@ class PhoneBaseDataset(BaseRawDataset):
         return PhoneDarkShading.blc_rggb(raw, bias)
 
     def correct_phone_lr(self, lr_raw, exp_ms, hot, dgain, hr_raw=None, jitter=True):
-        cmd = self.args["command"]
+        cmd = self.command
         if self.phone_ds is None:
             return lr_raw, hr_raw
         if "darkshading" in cmd:
@@ -156,9 +156,9 @@ class PhoneBaseDataset(BaseRawDataset):
     # -- dgain strategy ------------------------------------------------------
     def pick_dgain(self, idx):
         if self.args["mode"] == "train":
-            if "alldg" in self.args["command"]:
+            if "alldg" in self.command:
                 return self.ratio_list[idx // len(self.id_remap)]
-            if "rdg" in self.args["command"]:
+            if "rdg" in self.command:
                 return self.ratio_list[self.rng.integers(len(self.ratio_list))]
         return self.dgain
 
@@ -261,7 +261,7 @@ class IMX686MixDataset(IMX686Dataset):
         self.blacks, self.black_exps = [], []
         self.blacks_hot, self.black_exps_hot = [], []
         bias_dir = self.args.get("bias_dir")
-        if "HB" in self.args["command"] and bias_dir:
+        if "HB" in self.command and bias_dir:
             self.blacks, self.black_exps = self._scan_bias(bias_dir)
             self.blacks_hot, self.black_exps_hot = self._scan_bias(bias_dir + "-hot")
 
@@ -286,7 +286,7 @@ class IMX686MixDataset(IMX686Dataset):
         hot = self.hot_check(self._scene_idx(info))
         blacks = self.blacks_hot if hot else self.blacks
         use_black = bool(
-            train and blacks and "HB" in self.args["command"]
+            train and blacks and "HB" in self.command
             and self.rng.integers(5) == 0
         )
         if not use_black:
@@ -297,7 +297,7 @@ class IMX686MixDataset(IMX686Dataset):
         # --- pasted bias frame path (phone_datasets.py:586-640) -------------
         exps = self.black_exps_hot if hot else self.black_exps
         dgain = 20
-        n_pick = min(10, len(blacks)) if "lr10" in self.args["command"] else len(blacks)
+        n_pick = min(10, len(blacks)) if "lr10" in self.command else len(blacks)
         lr_id = int(self.rng.integers(n_pick))
         lr_raw = np.asarray(dataload(blacks[lr_id])).reshape(self.H, self.W)
         exp_ms = float(exps[lr_id])

@@ -22,6 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from pnnp_tpu.config import NoiseCode
 from pnnp_tpu.ops.tukey import tukeylambda_sample
 from pnnp_tpu.physics.sampling import params_at_iso_regression
 from pnnp_tpu.physics import calibration as calib
@@ -47,9 +48,9 @@ def generate_noisy(
     numpy path's black-frame semantics (row/quant/bias suppressed under 'b',
     reference: process.py:609-622). ``mfm`` is MultiFrameMean.
     """
-    code = noise_code.lower()
-    use_r, use_q, use_tl = "r" in code, "q" in code, "g" in code
-    use_p, use_d, use_black = "p" in code, "d" in code, "b" in code
+    nc = NoiseCode(noise_code)
+    use_r, use_q, use_tl = nc.row, nc.quant, nc.read_tukey
+    use_p, use_d, use_black = nc.shot_poisson, nc.dark_bias, nc.black_mode
 
     n, h, w, c = y.shape
     k_shot, k_read, k_row, k_quant = jax.random.split(key, 4)
@@ -114,9 +115,9 @@ def generate_noisy_packed(
     exact banding structure of the unpacked generator. Enables fully-packed
     training pipelines (no device-side relayout of 4-lane tensors).
     """
-    code = noise_code.lower()
-    use_r, use_q, use_tl = "r" in code, "q" in code, "g" in code
-    use_p, use_d, use_black = "p" in code, "d" in code, "b" in code
+    nc = NoiseCode(noise_code)
+    use_r, use_q, use_tl = nc.row, nc.quant, nc.read_tukey
+    use_p, use_d, use_black = nc.shot_poisson, nc.dark_bias, nc.black_mode
 
     n, h, w, c16 = g.shape
     assert c16 == 16, "packed layout has 16 channels"

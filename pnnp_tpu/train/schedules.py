@@ -20,7 +20,9 @@ def cosine_warm_restart(step, period=1000, peak=20, lr=1e-4, ratio=0.2):
     decay = 2.0**T
     s = step - T * period
     warm = s / jnp.maximum(peak, 1)
-    cos = (1 - ratio) * (jnp.cos((s - peak) / (period - peak) * math.pi) * 0.5 + 0.5) + ratio
+    # guard degenerate configs where the warmup spans the whole period
+    span = jnp.maximum(period - peak, 1)
+    cos = (1 - ratio) * (jnp.cos((s - peak) / span * math.pi) * 0.5 + 0.5) + ratio
     mul = jnp.where((s <= peak) & (T > 0), warm, cos)
     return lr * mul / decay
 

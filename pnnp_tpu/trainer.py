@@ -60,6 +60,10 @@ class Parser:
         p.add_argument("--mode", "-m", default=None)
         p.add_argument("--debug", action="store_true")
         p.add_argument("--nofig", action="store_true")
+        # Accepted for reference CLI parity, intentionally inert: the
+        # reference's --nohost disables its hostname->data-root remap
+        # (utils/utils.py:204-219); our runfiles carry explicit roots and
+        # config.load_runfile(root_prefix=...) covers remapping.
         p.add_argument("--nohost", action="store_true")
         p.add_argument("--gpu", default="0")  # accepted for CLI parity; unused on TPU
         return p.parse_args(argv)
@@ -549,16 +553,24 @@ class Trainer:
                                   jnp.asarray(batch["hr"])[0], batch, name, -1)
             log(f"[test {k + 1}/{len(loader)}] saved {name}")
 
-    def predict(self, raw_mosaic: np.ndarray, patch_size: int = 512, base: int = 64):
-        """Memory-bounded tiled full-frame inference
-        (reference: trainer_SID.py:345-360)."""
+    def predict(self, raw_mosaic: np.ndarray, name: str | None = "ds",
+                patch_size: int = 512, base: int = 64):
+        """Memory-bounded tiled full-frame inference on a black-subtracted
+        mosaic, saved as ``{name}.npy`` (reference: trainer_SID.py:345-360,
+        which packs ``raw + bl`` and np.saves the denoised bayer stack).
+        Pass ``name=None`` to skip the save."""
         from pnnp_tpu.ops import tiled_apply
         from pnnp_tpu.data.io import pack_raw_np
 
-        packed = pack_raw_np(raw_mosaic, self.dst.get("wp", 16383), self.dst.get("bl", 512))
+        bl = self.dst.get("bl", 512)
+        packed = pack_raw_np(np.asarray(raw_mosaic, np.float32) + bl,
+                             self.dst.get("wp", 16383), bl)
         fn = lambda tiles: self.eval_step(self.state, tiles)
         out = tiled_apply(fn, jnp.asarray(packed), patch_size, base, tile_batch=4)
-        return np.asarray(out)
+        out = np.asarray(out)
+        if name:
+            np.save(f"{name}.npy", out)
+        return out
 
 
 def main(argv=None):

@@ -103,3 +103,88 @@ def test_sfrn_lr10_limits_bias_pick(tmp_path, monkeypatch):
     seen_marker = any(float(np.abs(ds2[i % len(ds2)]["lr"]).max()) > 0.4
                       for i in range(40))
     assert seen_marker
+
+
+def test_sony_hot_check_table():
+    """Exact hot-scene id table (reference: real_datasets.py:241-254)."""
+    from pnnp_tpu.data.datasets import BaseRawDataset
+
+    ds = BaseRawDataset()
+    # name[2:5] is the scene id: '10072_00_10s' -> 072
+    assert ds.hot_check("10072_00_10s.ARW")
+    assert ds.hot_check("10232_00")
+    assert not ds.hot_check("10071_00")
+    assert not ds.hot_check("10178_00")  # gap 178-182
+    assert not ds.hot_check("10210_00")
+    assert not ds.hot_check("10233_00")
+    assert not ds.hot_check("weird-name")
+
+
+def test_hotfix_command_gates_plus2(tmp_path):
+    """'hotfix' command adds +2 ADU on hot scenes only (upstream carries this
+    commented out at real_datasets.py:552; opt-in here)."""
+    from tests.test_train_data import make_sid_fixture
+    from pnnp_tpu.data.datasets import SIDDataset
+    import pickle
+
+    make_sid_fixture(tmp_path, n_scenes=2, H=32, W=48)
+    # rename scene 0 to a hot id (name[2:5] = 100 is in the table)
+    info_path = tmp_path / "infos" / "SID_eval.info"
+    with open(info_path, "rb") as f:
+        infos = pickle.load(f)
+    infos = [dict(e, short=[e["short"][0]], ratio=[e["ratio"][0]]) for e in infos]
+    infos[0]["name"] = "10100_00"
+    infos[1]["name"] = "10071_00"  # not hot
+    # keep shorts dark enough that lr x ratio stays below the clip ceiling
+    rng = np.random.default_rng(5)
+    for e in infos:
+        np.save(e["short"][0], rng.uniform(513, 560, (32, 48)).astype(np.float32))
+    big = [dict(infos[i % 2]) for i in range(120)]
+    with open(info_path, "wb") as f:
+        pickle.dump(big, f)
+
+    args = dict(mode="eval", dstname="SID", camera_type="SonyA7S2",
+                noise_code="p", H=32, W=48, wp=16383, bl=512, ori=False,
+                clip=2, infos_dir=str(tmp_path / "infos"))
+    base = SIDDataset(dict(args, command=""), seed=0)
+    fixed = SIDDataset(dict(args, command="hotfix"), seed=0)
+    base.change_eval_ratio(100)
+    fixed.change_eval_ratio(100)
+    d0, f0 = base[0], fixed[0]   # hot scene
+    d1, f1 = base[1], fixed[1]   # cold scene
+    ratio = float(d0["ratio"][0])
+    delta = (f0["lr"] - d0["lr"]) * (16383.0 - 512.0) / ratio
+    np.testing.assert_allclose(delta, 2.0, atol=1e-3)
+    np.testing.assert_array_equal(f1["lr"], d1["lr"])
+
+
+def test_predict_saves_npy(tmp_path, monkeypatch):
+    """predict() packs raw+bl and saves {name}.npy (trainer_SID.py:345-360)."""
+    import yaml
+    from tests.test_train_data import make_sid_fixture
+
+    monkeypatch.chdir(tmp_path)
+    make_sid_fixture(tmp_path, n_scenes=1, H=32, W=48)
+    runfile = {
+        "mode": "eval", "checkpoint": "saved_model/T", "fast_ckpt": "checkpoints/T",
+        "model_name": "PRED_Unet", "num_workers": 0,
+        "dst": {"dataset": "Raw_Dataset", "dstname": "SID", "command": "",
+                "camera_type": "SonyA7S2", "noise_code": "p", "patch_size": 8,
+                "H": 32, "W": 48, "crop_per_image": 1, "croptype": "random_crop",
+                "wp": 16383, "bl": 512, "ori": False, "clip": 2,
+                "infos_dir": str(tmp_path / "infos")},
+        "arch": {"name": "UNetSeeInDark", "nf": 4, "nframes": 1},
+        "hyper": {"lr_scheduler": "fixed", "learning_rate": 1e-4, "batch_size": 1,
+                  "stop_epoch": 1, "last_epoch": 0, "save_freq": 1,
+                  "plot_freq": 1, "best_psnr": 0},
+    }
+    with open(tmp_path / "p.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+    from pnnp_tpu.trainer import Trainer
+
+    t = Trainer(str(tmp_path / "p.yml"), mode="eval", nofig=True, debug=True)
+    raw = np.random.default_rng(0).uniform(0, 8000, (64, 64)).astype(np.float32)
+    out = t.predict(raw, name="dsout", patch_size=32, base=8)
+    assert out.shape == (32, 32, 4)
+    saved = np.load("dsout.npy")
+    np.testing.assert_array_equal(saved, out)
