@@ -206,6 +206,124 @@ def tail_weights(params: dict, dtype: Any = DT) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# fused_head: g1 -> (c1g, p1)
+# ---------------------------------------------------------------------------
+
+
+def _head_kernel(g1_ref, k11_ref, k12_ref, scal_ref, c1g_ref, p1_ref,
+                 o_s, a_s, *, th, tw, H, W, slope):
+    """conv1_1 + conv1_2 in 2x2-block s2d form, then group_max via lane
+    rolls. Same column geometry as :func:`_tail_kernel`."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dw = tw + 8
+    masks = _lane_masks(4, 32, jnp.float32)
+    b11 = scal_ref[0:1, :].astype(jnp.float32).reshape(1, 1, 128)
+    b12 = scal_ref[1:2, :].astype(jnp.float32).reshape(1, 1, 128)
+
+    # stage 1: conv1_1 -> a1 rows [-1 .. th], zero-masked outside the frame
+    r1 = th + 3
+    read_g = lambda p, q, r, c: g1_ref[p : p + r, q : q + c, :]
+    o1 = _bconv([(read_g, k11_ref)], r1, dw) + b11
+    o1 = jnp.where(o1 >= 0, o1, o1 * slope)
+    o_s[:, :dw, :] = o1.astype(DT)
+
+    r2 = th + 2
+    a1 = _select(o_s, masks, r2, dw + 1)
+    gy = jax.lax.broadcasted_iota(jnp.int32, (r2, dw + 1, 1), 0) + (i * th - 1)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (r2, dw + 1, 1), 1) + (j * tw - 1)
+    inside = (gy >= 0) & (gy < H) & (gx >= 0) & (gx < W)
+    a_s[:, : dw + 1, :] = jnp.where(inside, a1, 0.0).astype(DT)
+
+    # stage 2: conv1_2 -> c1g tile
+    r3 = th + 1
+    read_a = lambda p, q, r, c: a_s[p : p + r, q : q + c, :]
+    o2 = _bconv([(read_a, k12_ref)], r3, dw) + b12
+    o2 = jnp.where(o2 >= 0, o2, o2 * slope)
+    o_s[:r3, :dw, :] = o2.astype(DT)
+
+    c1g = _select(o_s, masks, th, tw).astype(DT)
+    c1g_ref[:, :, :] = c1g.astype(c1g_ref.dtype)
+
+    # stage 3: group_max — lane rolls align the 4 sub-position blocks
+    # (shift must be non-negative: rolling by 128-s moves block s into 0:32)
+    m = c1g
+    for s in (32, 64, 96):
+        m = jnp.maximum(m, pltpu.roll(c1g, 128 - s, 2))
+    p1_ref[:, :, :] = m[:, :, :32].astype(p1_ref.dtype)
+
+
+def head_weights(params: dict, dtype: Any = DT) -> dict:
+    """Block-form conv1_1/conv1_2 weights from a standard nf=32 param tree."""
+    import numpy as np
+
+    np32 = lambda x: np.asarray(jax.device_get(x), np.float32)
+    kp11 = np.asarray(_transform_conv3_kernel(
+        jnp.asarray(np32(params["conv1_1"]["kernel"])))).reshape(4, 16, 128)
+    kp12 = np.asarray(_transform_conv3_kernel(
+        jnp.asarray(np32(params["conv1_2"]["kernel"])))).reshape(4, 128, 128)
+    scal = np.stack([np.tile(np32(params["conv1_1"]["bias"]), 4),
+                     np.tile(np32(params["conv1_2"]["bias"]), 4)])
+    return {
+        "k11": jnp.asarray(kp11, dtype),
+        "k12": jnp.asarray(kp12, dtype),
+        "scal": jnp.asarray(scal, jnp.float32),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw", "interpret"))
+def fused_head(g1: jnp.ndarray, w: dict, th: int = 32, tw: int = 136,
+               interpret: bool = False):
+    """g1 [1,H,W,16] -> (c1g [1,H,W,128], p1 [1,H,W,32]).
+
+    Equals lrelu(conv1_2(lrelu(conv1_1(.)))) and its group_max on the packed
+    hybrid path."""
+    _, H, W, _ = g1.shape
+    interpret = interpret or jax.default_backend() == "cpu"
+    nh, nw = pl.cdiv(H, th), pl.cdiv(W, tw)
+    hp, wp = nh * th, nw * tw
+    g1p = jnp.pad(g1[0], ((2, hp - H + 2), (2, wp - W + 14), (0, 0)))
+
+    kern = functools.partial(_head_kernel, th=th, tw=tw, H=H, W=W, slope=0.2)
+    c1g, p1 = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp, 128), g1.dtype),
+            jax.ShapeDtypeStruct((hp, wp, 32), g1.dtype),
+        ),
+        grid=(nh, nw),
+        in_specs=[
+            pl.BlockSpec(_elem((th + 4, tw + 16, 16)),
+                         lambda i, j: (i * th, j * tw, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 16, 128), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 128, 128), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((th, tw, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw, 32), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((th + 3, tw + 16, 128), DT),
+            pltpu.VMEM((th + 2, tw + 16, 128), DT),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * W * 4 * (2 * 128 * 128) // 4,
+            bytes_accessed=(g1p.size + hp * wp * 160) * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(g1p.astype(DT), w["k11"], w["k12"], w["scal"])
+    return c1g[None, :H, :W, :], p1[None, :H, :W, :]
+
+
 @functools.partial(jax.jit, static_argnames=("th", "tw", "interpret"))
 def fused_tail(c8: jnp.ndarray, c1g: jnp.ndarray, w: dict,
                th: int = 32, tw: int = 136, interpret: bool = False

@@ -430,10 +430,11 @@ def transform_params_fused(params: dict, dtype: Any = jnp.bfloat16) -> dict:
     """Pre-transform for :func:`unet_fused_forward_packed`: the hybrid tree
     plus the Pallas fused-tail weights (kernels/s2d_chain.py), built from the
     same standard UNetSeeInDark param tree."""
-    from pnnp_tpu.kernels.s2d_chain import tail_weights
+    from pnnp_tpu.kernels.s2d_chain import head_weights, tail_weights
 
     out = transform_params_hybrid(params, dtype)
     out["_tail"] = tail_weights(params, dtype)
+    out["_head"] = head_weights(params, dtype)
     return out
 
 
@@ -444,12 +445,12 @@ def unet_fused_forward_packed(tparams: dict, g1: jnp.ndarray,
     """Packed forward with the Pallas fused decoder tail (serving fast path).
 
     Identical function to :func:`unet_hybrid_forward_packed`; the
-    upv9+conv9_1+conv9_2+head stack runs as one Pallas kernel in the exact
-    2x2-block s2d form (1.78x FLOPs instead of the dense form's 4x, group
-    select in VMEM). Forward-only (no custom VJP): use for eval/serving;
-    training keeps the XLA path.
+    conv1_1+conv1_2+group_max head and the upv9+conv9_1+conv9_2+head tail
+    each run as one Pallas kernel in the exact 2x2-block s2d form (1.78x
+    FLOPs instead of the dense form's 4x, group select in VMEM). Forward-only
+    (no custom VJP): use for eval/serving; training keeps the XLA path.
     """
-    from pnnp_tpu.kernels.s2d_chain import fused_tail
+    from pnnp_tpu.kernels.s2d_chain import fused_head, fused_tail
 
     k = lambda name: tparams[name]["kernel"]
     b = lambda name: tparams[name]["bias"]
@@ -480,8 +481,7 @@ def unet_fused_forward_packed(tparams: dict, g1: jnp.ndarray,
         )
         return _lrelu(h + b(name))
 
-    c1g = conv(conv(g1, "conv1_1"), "conv1_2")
-    p1 = _group_max(c1g)
+    c1g, p1 = fused_head(g1, tparams["_head"], interpret=interpret)
     c2 = conv(conv(p1, "conv2_1"), "conv2_2")
     c3 = conv(conv(pool(c2), "conv3_1"), "conv3_2")
     c4 = conv(conv(pool(c3), "conv4_1"), "conv4_2")
