@@ -17,7 +17,7 @@ tile, so the inter-layer tensors never touch HBM:
                up-path block kernel via an appended ones-channel; conv9_1,
                conv9_2 block-form; block-diagonal 1x1 head)
   fused_head:  g1 -> c1g, p1            (conv1_1 + conv1_2 block-form;
-               group_max via lane rolls)
+               group_max via permutation matmuls)
 
 Math of the block form (see `unet_s2d._transform_conv3_kernel`, reference
 construction `unet_s2d._s2d_conv_pre`): a 3x3 SAME conv on [H,W,C] equals, on
@@ -27,10 +27,10 @@ and bias-add + LeakyReLU commute with that selection (per-lane bias, lanes
 unmoved), so each stage finalizes O before selecting.
 
 Boundary semantics: callers pre-pad inputs with zeros (SAME-conv halo); the
-kernel zero-masks the intermediate h9 outside the frame because
-lrelu(0 + bias) != 0 (`_inside_mask`). Mosaic's `Element` block dims provide
-the overlapping halo windows (low padding unsupported on this libtpu, hence
-the XLA-side pre-pad).
+kernels zero-mask the intermediate activation outside the frame because
+lrelu(0 + bias) != 0. Mosaic's `Element` block dims provide the overlapping
+halo windows (low padding unsupported on this libtpu, hence the XLA-side
+pre-pad).
 
 Used by `unet_s2d.unet_fused_forward_packed`; exactness vs the XLA hybrid
 path is covered by tests/test_kernels.py.
@@ -69,28 +69,36 @@ def _lane_masks(n_groups: int, block: int, dtype):
     ]
 
 
-def _bconv(x_slices, rows, cols):
-    """One 2x2 block-form conv: O[r, c] = sum_t x[r+p, c+q] @ Kp[t].
+def _bconv_store(x_slices, rows, cols, out_s, bias, slope, chunk=8):
+    """One 2x2 block-form conv: O[r, c] = sum_t x[r+p, c+q] @ Kp[t], with
+    bias + LeakyReLU fused, streamed into ``out_s`` (bf16) in row chunks.
 
-    ``x_slices``: list of (read_fn, kp_ref) pairs — read_fn(p, q, rows, cols)
-    returns the [rows, cols, Cin] window shifted by tap (p, q); multiple
-    pairs accumulate (the dual-input conv9_1). Returns f32 [rows, cols, Cout].
-    """
-    acc = None
-    for read, kp_ref in x_slices:
-        for t, (p, q) in enumerate(_AP):
-            a = read(p, q, rows, cols)
-            r = jax.lax.dot_general(
-                a, kp_ref[t],
-                (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = r if acc is None else acc + r
-    return acc
+    ``x_slices``: list of (read_fn, kp_ref) pairs — read_fn(p, q, r0, rs,
+    cols) returns the [rs, cols, Cin] window rows r0..r0+rs shifted by tap
+    (p, q); multiple pairs accumulate (the dual-input conv9_1). Chunking
+    keeps the f32 accumulator value small (whole-tile accumulators spill)."""
+    for r0 in range(0, rows, chunk):
+        rs = min(chunk, rows - r0)
+        acc = None
+        for read, kp_ref in x_slices:
+            for t, (p, q) in enumerate(_AP):
+                a = read(p, q, r0, rs, cols)
+                r = jax.lax.dot_general(
+                    a, kp_ref[t],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = r if acc is None else acc + r
+        acc = acc + bias
+        acc = jnp.where(acc >= 0, acc, acc * slope)
+        out_s[r0 : r0 + rs, :cols, :] = acc.astype(DT)
 
 
 def _select(o_ref, masks, rows, cols):
-    """out[r, c] = sum_g mask_g * O[r + a_h(g), c + a_w(g)] (lanes unmoved)."""
+    """out[r, c] = sum_g mask_g * O[r + a_h(g), c + a_w(g)] (lanes unmoved).
+
+    Exact in bf16: the per-group lane masks are disjoint, so no addition
+    ever mixes two nonzero values."""
     out = None
     for g, (ah, aw) in enumerate(_AP):
         term = o_ref[ah : ah + rows, aw : aw + cols, :] * masks[g]
@@ -114,18 +122,16 @@ def _tail_kernel(c8_ref, c1g_ref, kf_ref, kb_ref, k92_ref, scal_ref, khb_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
     dw = tw + 8
-    masks = _lane_masks(4, 32, jnp.float32)
+    masks = _lane_masks(4, 32, DT)
     b91 = scal_ref[0:1, :].astype(jnp.float32).reshape(1, 1, 128)
     b92 = scal_ref[1:2, :].astype(jnp.float32).reshape(1, 1, 128)
     bh = scal_ref[2:3, :].astype(jnp.float32).reshape(1, 1, 128)
 
     # stage 1: O1 rows [-1 .. th+1] (scratch row 0 = global row i*th-1)
     r1 = th + 3
-    read8 = lambda p, q, r, c: c8_ref[p : p + r, q : q + c, :]
-    read1g = lambda p, q, r, c: c1g_ref[p : p + r, q : q + c, :]
-    o1 = _bconv([(read8, kf_ref), (read1g, kb_ref)], r1, dw) + b91
-    o1 = jnp.where(o1 >= 0, o1, o1 * slope)
-    o1_s[:, :dw, :] = o1.astype(DT)
+    read8 = lambda p, q, r0, rs, c: c8_ref[p + r0 : p + r0 + rs, q : q + c, :]
+    read1g = lambda p, q, r0, rs, c: c1g_ref[p + r0 : p + r0 + rs, q : q + c, :]
+    _bconv_store([(read8, kf_ref), (read1g, kb_ref)], r1, dw, o1_s, b91, slope)
 
     # stage 2: h9 rows [-1 .. th], zero outside the frame
     r2 = th + 2
@@ -135,12 +141,10 @@ def _tail_kernel(c8_ref, c1g_ref, kf_ref, kb_ref, k92_ref, scal_ref, khb_ref,
     inside = (gy >= 0) & (gy < H) & (gx >= 0) & (gx < W)
     h9_s[:, : dw + 1, :] = jnp.where(inside, h9, 0.0).astype(DT)
 
-    # stage 3: O2 rows [0 .. th]
+    # stage 3: O2 rows [0 .. th] (reuse stage-1 scratch, dead)
     r3 = th + 1
-    read9 = lambda p, q, r, c: h9_s[p : p + r, q : q + c, :]
-    o2 = _bconv([(read9, k92_ref)], r3, dw) + b92
-    o2 = jnp.where(o2 >= 0, o2, o2 * slope)
-    o1_s[:r3, :dw, :] = o2.astype(DT)  # reuse stage-1 scratch (dead)
+    read9 = lambda p, q, r0, rs, c: h9_s[p + r0 : p + r0 + rs, q : q + c, :]
+    _bconv_store([(read9, k92_ref)], r3, dw, o1_s, b92, slope)
 
     # stage 4: c9 select + block-diagonal head
     c9 = _select(o1_s, masks, th, dw).astype(DT)
@@ -211,23 +215,24 @@ def tail_weights(params: dict, dtype: Any = DT) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _head_kernel(g1_ref, k11_ref, k12_ref, scal_ref, c1g_ref, p1_ref,
+def _head_kernel(g1_ref, k11_ref, k12_ref, scal_ref, perm_ref, c1g_ref, p1_ref,
                  o_s, a_s, *, th, tw, H, W, slope):
-    """conv1_1 + conv1_2 in 2x2-block s2d form, then group_max via lane
-    rolls. Same column geometry as :func:`_tail_kernel`."""
+    """conv1_1 + conv1_2 in 2x2-block s2d form, then group_max via
+    permutation matmuls (the MXU is the only unit that moves lanes cheaply;
+    0/1 matrices copy bf16 exactly under f32 accumulation — lane rolls
+    don't lower on this libtpu). Same column geometry as
+    :func:`_tail_kernel`."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     dw = tw + 8
-    masks = _lane_masks(4, 32, jnp.float32)
+    masks = _lane_masks(4, 32, DT)
     b11 = scal_ref[0:1, :].astype(jnp.float32).reshape(1, 1, 128)
     b12 = scal_ref[1:2, :].astype(jnp.float32).reshape(1, 1, 128)
 
     # stage 1: conv1_1 -> a1 rows [-1 .. th], zero-masked outside the frame
     r1 = th + 3
-    read_g = lambda p, q, r, c: g1_ref[p : p + r, q : q + c, :]
-    o1 = _bconv([(read_g, k11_ref)], r1, dw) + b11
-    o1 = jnp.where(o1 >= 0, o1, o1 * slope)
-    o_s[:, :dw, :] = o1.astype(DT)
+    read_g = lambda p, q, r0, rs, c: g1_ref[p + r0 : p + r0 + rs, q : q + c, :]
+    _bconv_store([(read_g, k11_ref)], r1, dw, o_s, b11, slope)
 
     r2 = th + 2
     a1 = _select(o_s, masks, r2, dw + 1)
@@ -236,22 +241,27 @@ def _head_kernel(g1_ref, k11_ref, k12_ref, scal_ref, c1g_ref, p1_ref,
     inside = (gy >= 0) & (gy < H) & (gx >= 0) & (gx < W)
     a_s[:, : dw + 1, :] = jnp.where(inside, a1, 0.0).astype(DT)
 
-    # stage 2: conv1_2 -> c1g tile
+    # stage 2: conv1_2 -> c1g tile (reuse stage-1 scratch, dead)
     r3 = th + 1
-    read_a = lambda p, q, r, c: a_s[p : p + r, q : q + c, :]
-    o2 = _bconv([(read_a, k12_ref)], r3, dw) + b12
-    o2 = jnp.where(o2 >= 0, o2, o2 * slope)
-    o_s[:r3, :dw, :] = o2.astype(DT)
+    read_a = lambda p, q, r0, rs, c: a_s[p + r0 : p + r0 + rs, q : q + c, :]
+    _bconv_store([(read_a, k12_ref)], r3, dw, o_s, b12, slope)
 
-    c1g = _select(o_s, masks, th, tw).astype(DT)
-    c1g_ref[:, :, :] = c1g.astype(c1g_ref.dtype)
+    c1g = _select(o_s, masks, th, dw).astype(DT)
+    c1g_ref[:, :, :] = c1g[:, :tw, :].astype(c1g_ref.dtype)
 
-    # stage 3: group_max — lane rolls align the 4 sub-position blocks
-    # (shift must be non-negative: rolling by 128-s moves block s into 0:32)
-    m = c1g
-    for s in (32, 64, 96):
-        m = jnp.maximum(m, pltpu.roll(c1g, 128 - s, 2))
-    p1_ref[:, :, :] = m[:, :, :32].astype(p1_ref.dtype)
+    # stage 3: group_max — permutation matmuls bring each sub-position block
+    # into lanes 0:32, where the VPU maxes them
+    m = c1g.astype(jnp.float32)
+    for g in range(3):
+        m = jnp.maximum(
+            m,
+            jax.lax.dot_general(
+                c1g, perm_ref[g],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+        )
+    p1_ref[:, :, :] = m[:, :tw, :32].astype(p1_ref.dtype)
 
 
 def head_weights(params: dict, dtype: Any = DT) -> dict:
@@ -265,10 +275,14 @@ def head_weights(params: dict, dtype: Any = DT) -> dict:
         jnp.asarray(np32(params["conv1_2"]["kernel"])))).reshape(4, 128, 128)
     scal = np.stack([np.tile(np32(params["conv1_1"]["bias"]), 4),
                      np.tile(np32(params["conv1_2"]["bias"]), 4)])
+    perm = np.zeros((3, 128, 128), np.float32)  # block g+1 -> lanes 0:32
+    for g in range(3):
+        perm[g, (g + 1) * 32 : (g + 2) * 32, :32] = np.eye(32)
     return {
         "k11": jnp.asarray(kp11, dtype),
         "k12": jnp.asarray(kp12, dtype),
         "scal": jnp.asarray(scal, jnp.float32),
+        "perm": jnp.asarray(perm, dtype),
     }
 
 
@@ -303,6 +317,8 @@ def fused_head(g1: jnp.ndarray, w: dict, th: int = 32, tw: int = 136,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128, 128), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((th, tw, 128), lambda i, j: (i, j, 0),
@@ -314,13 +330,16 @@ def fused_head(g1: jnp.ndarray, w: dict, th: int = 32, tw: int = 136,
             pltpu.VMEM((th + 3, tw + 16, 128), DT),
             pltpu.VMEM((th + 2, tw + 16, 128), DT),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * H * W * 4 * (2 * 128 * 128) // 4,
             bytes_accessed=(g1p.size + hp * wp * 160) * 2,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(g1p.astype(DT), w["k11"], w["k12"], w["scal"])
+    )(g1p.astype(DT), w["k11"], w["k12"], w["scal"], w["perm"])
     return c1g[None, :H, :W, :], p1[None, :H, :W, :]
 
 
@@ -374,6 +393,9 @@ def fused_tail(c8: jnp.ndarray, c1g: jnp.ndarray, w: dict,
             pltpu.VMEM((th + 3, tw + 16, 128), DT),
             pltpu.VMEM((th + 2, tw + 16, 128), DT),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * H * W * 4 * (200 * 128 + 128 * 128 + 32 * 128 // 4),
             bytes_accessed=(c8e.size + c1p.size + hp * wp * 16) * 2,
