@@ -584,17 +584,22 @@ def main(argv=None):
     if mode in ("eval", "evaltest"):
 
         def sweep(ds, ratios):
-            if hasattr(ds, "ratio_list") and hasattr(ds, "recheck_length"):
-                # ELD/LRID-style dgain sweep (trainer_SID.py:538-549)
+            if hasattr(ds, "change_eval_ratio"):
+                # SID ratio splits (trainer_SID.py:551-562) and the LRID
+                # dgain ladder (trainer_LRID.py:489-504) both sweep through
+                # change_eval_ratio — phone datasets read self.dgain, so
+                # assigning ratio_list directly would silently keep the
+                # default ratio.
+                for ratio in ratios:
+                    ds.change_eval_ratio(ratio)
+                    log(f"Dgain: {ratio}")
+                    trainer.eval(-1)
+            elif hasattr(ds, "ratio_list") and hasattr(ds, "recheck_length"):
+                # ELD-style scene x ISO x ratio grid (trainer_SID.py:538-549)
                 for dgain in ratios:
                     ds.ratio_list = [dgain]
                     ds.recheck_length()
                     log(f"Dgain: {dgain}")
-                    trainer.eval(-1)
-            elif hasattr(ds, "change_eval_ratio"):  # SID ratio splits
-                for ratio in ratios:
-                    ds.change_eval_ratio(ratio)
-                    log(f"Dgain: {ratio}")
                     trainer.eval(-1)
             else:
                 trainer.eval(-1)

@@ -310,3 +310,117 @@ def test_evaltest_full_chain(tmp_path, monkeypatch):
     with open("metrics/HARNESS_Unet_metrics.pkl", "rb") as f:
         metrics = pickle.load(f)
     assert len(metrics) >= 86 + 12
+
+
+# ---------------------------------------------------------------------------
+# LRID / IMX686 leg
+# ---------------------------------------------------------------------------
+
+
+def make_lrid_tree(root, rng, n_scenes=59):
+    """LRID layout: {root}/indoor_x5/pos-XXX/{GT_align_ours|short_xN}/*.npy
+    (+ JSON sidecars), matching tools/get_dataset_infos.py --dstname LRID."""
+    import json
+
+    global H, W
+    for s in range(n_scenes):
+        sd = os.path.join(root, "indoor_x5", f"pos-{s:03d}")
+        gt_dir = os.path.join(sd, "GT_align_ours")
+        os.makedirs(gt_dir, exist_ok=True)
+        p = os.path.join(gt_dir, "gt.npy")
+        _write_raw_lrid(p, rng, 64, 1023)
+        with open(os.path.splitext(p)[0] + ".json", "w") as f:
+            json.dump({"ISO": 100, "ExposureTime": 0.05}, f)
+        for dg in (1, 2, 4, 8, 16):
+            shd = os.path.join(sd, f"short_x{dg}")
+            os.makedirs(shd, exist_ok=True)
+            sp = os.path.join(shd, "s0.npy")
+            _write_raw_lrid(sp, rng, 64, 64 + (1023 - 64) / dg)
+            with open(os.path.splitext(sp)[0] + ".json", "w") as f:
+                json.dump({"ISO": 6400, "ExposureTime": 0.05 / dg}, f)
+
+
+def _write_raw_lrid(path, rng, lo, hi):
+    np.save(path, rng.uniform(lo, hi, (H, W)).astype(np.float32))
+
+
+def test_evaltest_lrid_chain(tmp_path, monkeypatch):
+    import yaml
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(11)
+    make_lrid_tree(str(tmp_path / "LRID"), rng)
+
+    from tools.get_dataset_infos import main as build_infos
+
+    build_infos(["--dstname", "LRID", "--root_dir", str(tmp_path / "LRID"),
+                 "--subset", "indoor_x5", "--out_dir", str(tmp_path / "infos")])
+
+    import torch
+
+    sd = make_torch_state(np.random.default_rng(3))
+    torch.save(sd, tmp_path / "h686.pth")
+
+    from pnnp_tpu.train.checkpoint import load_any, save_checkpoint
+
+    params = load_any(str(tmp_path / "h686.pth"))["params"]
+    os.makedirs("checkpoints/T", exist_ok=True)
+    save_checkpoint("checkpoints/T/HARNESS686_Unet_best_model.ckpt", params,
+                    None, {"epoch": 0, "eval_psnr": 1.0})
+
+    dst = {
+        "dstname": "indoor_x5", "command": "", "camera_type": "IMX686",
+        "GT_type": "GT_align_ours", "noise_code": "p", "patch_size": 8,
+        "H": H, "W": W, "crop_per_image": 1, "croptype": "random_crop",
+        "wp": 1023, "bl": 64, "ori": False, "clip": False,
+        "infos_dir": str(tmp_path / "infos"),
+    }
+    runfile = {
+        "mode": "evaltest", "checkpoint": "saved_model/T",
+        "fast_ckpt": "checkpoints/T", "model_name": "HARNESS686_Unet",
+        "num_workers": 0, "brightness_correct": True,
+        "disable_fast_path": True,
+        "dst": dst,
+        "dst_eval": dict(dst, mode="eval", dataset="IMX686_Dataset",
+                         ratio_list=[1, 2, 4, 8, 16]),
+        "arch": {"name": "UNetSeeInDark", "in_nc": 4, "out_nc": 4, "nf": NF,
+                 "nframes": 1, "res": False},
+        "hyper": {"lr_scheduler": "fixed", "learning_rate": 1e-4,
+                  "batch_size": 1, "last_epoch": 0, "stop_epoch": 1,
+                  "save_freq": 1, "plot_freq": 1, "best_psnr": 0},
+    }
+    with open(tmp_path / "run686.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+
+    from pnnp_tpu.trainer import main as trainer_main
+
+    trainer_main(["-f", str(tmp_path / "run686.yml"), "--mode", "evaltest",
+                  "--debug", "--nofig"])
+
+    # oracle over the eval scene split x dgain ladder
+    from pnnp_tpu.data.phone import EVAL_IDS
+
+    with open(tmp_path / "infos" / "indoor_x5_GT_align_ours.info", "rb") as f:
+        gt_infos = pickle.load(f)
+    with open(tmp_path / "infos" / "indoor_x5_short.info", "rb") as f:
+        short_infos = pickle.load(f)
+
+    summaries = []
+    for dg in (1, 2, 4, 8, 16):
+        vals = []
+        for sid in EVAL_IDS["indoor_x5"]:
+            hr = np_pack(np.load(gt_infos[sid]["data"]), wp=1023, bl=64, clip=True)
+            lr = np_pack(np.load(short_infos[dg][sid]["data"][0]),
+                         wp=1023, bl=64, clip=False)
+            vals.append(oracle_eval(sd, lr, hr, float(dg)))
+        summaries.append(np.mean(vals, axis=0))
+
+    with open("logs/log_HARNESS686_Unet.log") as f:
+        logtext = f.read()
+    psnrs = [float(m) for m in re.findall(r"Epoch -1: PSNR=([\d.]+)", logtext)]
+    ssims = re.findall(r"ssims_lr=([\d.]+), ssims_dn=([\d.]+)", logtext)
+    assert len(psnrs) == 5, logtext
+    for i, (p_log, (_, sdn)) in enumerate(zip(psnrs, ssims)):
+        p_or, s_or = summaries[i][0], summaries[i][1]
+        assert abs(p_log - p_or) < 0.05 + 0.006, (i, p_log, p_or)
+        assert abs(float(sdn) - s_or) < 0.002, (i, sdn, s_or)
