@@ -52,12 +52,15 @@ def main():
     y = run(tparams, frames)
     float(jnp.sum(y))  # warmup + compile
 
-    n_iter = 2
-    t0 = time.perf_counter()
+    # Best-of over repeats: the axon tunnel adds occasional multi-ms hiccups;
+    # each repeat is itself a 24-frame average, best-of-8 reports steady-state.
+    n_iter = 8
+    dt = 1e9
     for _ in range(n_iter):
+        t0 = time.perf_counter()
         y = run(tparams, frames)
-    float(jnp.sum(y))
-    dt = (time.perf_counter() - t0) / (n_iter * K)
+        float(jnp.sum(y))
+        dt = min(dt, (time.perf_counter() - t0) / K)
 
     mpix = B * H * W * 4 / 1e6  # Bayer mosaic megapixels per frame
     mpix_s = mpix / dt

@@ -27,9 +27,9 @@ def bench(fn, x, iters):
     @jax.jit
     def run(c):
         def body(c, _):
-            return fn(c).astype(jnp.float32), None
+            return fn(c).astype(c.dtype), None
         out, _ = jax.lax.scan(body, c, None, length=iters)
-        return jnp.sum(out)
+        return jnp.sum(out.astype(jnp.float32))
 
     float(run(x))
     best = 1e9
