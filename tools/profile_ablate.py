@@ -87,23 +87,18 @@ def forward(tparams, g1, skip=()):
     c7 = conv(dec_conv(up(c6, "upv7"), c3, "conv7_1"), "conv7_2")
     c8 = conv(dec_conv(up(c7, "upv8"), c2, "conv8_1"), "conv8_2")
 
-    if "upv9" in skip:
-        g_up = jnp.concatenate([c8, c8], axis=-1)
-    else:
-        g_up = jnp.einsum("nhwc,cd->nhwd", c8, k("upv9")) + b("upv9")
     if "conv9_1" in skip:
-        h9 = lrelu(g_up + b("conv9_1"))
+        h9 = lrelu(jnp.concatenate([c8, c8], axis=-1) + b("conv9_1"))
     else:
-        k91 = k("conv9_1")
-        cu = g_up.shape[-1] // 4
-        cs = c1g.shape[-1] // 4
-        rows = jnp.arange(k91.shape[2]).reshape(4, cu + cs)
+        # production form: upv9 folded into conv9_1's up-path kernel
+        ones = jnp.ones(c8.shape[:-1] + (1,), c8.dtype)
         h9 = lrelu(
             jax.lax.conv_general_dilated(
-                g_up, k91[:, :, rows[:, :cu].reshape(-1)], (1, 1), "SAME",
+                jnp.concatenate([c8, ones], axis=-1),
+                tparams["conv9_1"]["kernel_up"], (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             + jax.lax.conv_general_dilated(
-                c1g, k91[:, :, rows[:, cu:].reshape(-1)], (1, 1), "SAME",
+                c1g, tparams["conv9_1"]["kernel_skip"], (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             + b("conv9_1")
         )
@@ -152,10 +147,10 @@ def main():
     print(f"base frame: {base*1e3:.2f} ms ({1424*2128*4/1e6/base:.1f} Mpix/s)\n")
 
     groups = [
-        ("upv6",), ("upv7",), ("upv8",), ("upv9",),
+        ("upv6",), ("upv7",), ("upv8",), ("conv9_1",),
         ("head",), ("gmax",), ("pools",),
         ("upv6", "upv7", "upv8"),
-        ("head", "gmax", "upv9", "pools"),
+        ("head", "gmax", "conv9_1", "pools"),
     ]
     for g in groups:
         t = time_frame(tp, g1, g, args.iters)

@@ -120,17 +120,14 @@ def main():
         return conv(dec_conv(up(c7, "upv8"), c2, "conv8_1"), "conv8_2")
 
     def stage_tail(c8, c1g):
-        g_up = jnp.einsum("nhwc,cd->nhwd", c8, k("upv9")) + b("upv9")
-        k91 = k("conv9_1")
-        cu = g_up.shape[-1] // 4
-        cs = c1g.shape[-1] // 4
-        rows = jnp.arange(k91.shape[2]).reshape(4, cu + cs)
+        ones = jnp.ones(c8.shape[:-1] + (1,), c8.dtype)
         h9 = lrelu(
             jax.lax.conv_general_dilated(
-                g_up, k91[:, :, rows[:, :cu].reshape(-1)], (1, 1), "SAME",
+                jnp.concatenate([c8, ones], axis=-1),
+                tp["conv9_1"]["kernel_up"], (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             + jax.lax.conv_general_dilated(
-                c1g, k91[:, :, rows[:, cu:].reshape(-1)], (1, 1), "SAME",
+                c1g, tp["conv9_1"]["kernel_skip"], (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             + b("conv9_1")
         )
