@@ -5,6 +5,7 @@ from pnnp_tpu.train.losses import (
     unet_dpsv_loss,
     psnr_loss,
 )
+from pnnp_tpu.train.flow_losses import epe_loss, ternary_loss, sobel_loss
 from pnnp_tpu.train.schedules import cosine_warm_restart, multistep, build_lr_schedule
 from pnnp_tpu.train.state import TrainState, create_train_state, apply_scaled_updates
 from pnnp_tpu.train.steps import (
