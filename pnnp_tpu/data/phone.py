@@ -264,6 +264,18 @@ class IMX686MixDataset(IMX686Dataset):
         if "HB" in self.command and bias_dir:
             self.blacks, self.black_exps = self._scan_bias(bias_dir)
             self.blacks_hot, self.black_exps_hot = self._scan_bias(bias_dir + "-hot")
+        # 'buffer' command: preload the bias library into memory once
+        # (reference phone_datasets.py:320-327 reads every frame up front;
+        # without it each pasted item re-reads from disk).
+        self._bias_buf = {}
+        if "buffer" in self.command:
+            for path in list(self.blacks) + list(self.blacks_hot):
+                self._bias_buf[path] = np.asarray(dataload(path))
+
+    def _load_black(self, path):
+        if path in self._bias_buf:
+            return self._bias_buf[path]
+        return np.asarray(dataload(path))
 
     def _scan_bias(self, root):
         d = os.path.join(root, str(self.iso))
@@ -299,7 +311,7 @@ class IMX686MixDataset(IMX686Dataset):
         dgain = 20
         n_pick = min(10, len(blacks)) if "lr10" in self.command else len(blacks)
         lr_id = int(self.rng.integers(n_pick))
-        lr_raw = np.asarray(dataload(blacks[lr_id])).reshape(self.H, self.W)
+        lr_raw = self._load_black(blacks[lr_id]).reshape(self.H, self.W)
         exp_ms = float(exps[lr_id])
         hr_raw = np.asarray(dataload(info["hr"])).reshape(self.H, self.W)
         lr_raw, hr_new = self.correct_phone_lr(lr_raw, exp_ms, hot, dgain,
@@ -338,6 +350,15 @@ class IMX686SFRNRawDataset(PhoneBaseDataset):
         if bias_dir and os.path.isdir(os.path.join(bias_dir, "6400")):
             d = os.path.join(bias_dir, "6400")
             self.blacks = [os.path.join(d, f) for f in sorted(os.listdir(d))]
+        self._bias_buf = {}
+        if "buffer" in self.command:  # see IMX686MixDataset note
+            for path in self.blacks:
+                self._bias_buf[path] = np.asarray(dataload(path))
+
+    def _load_black(self, path):
+        if path in self._bias_buf:
+            return self._bias_buf[path]
+        return np.asarray(dataload(path))
 
     def __getitem__(self, idx):
         idr = self.id_remap[idx % len(self.id_remap)]
@@ -345,7 +366,7 @@ class IMX686SFRNRawDataset(PhoneBaseDataset):
         hr_raw = np.asarray(dataload(info["hr"])).reshape(self.H, self.W)
         hr = self.pack(hr_raw, clip=True)
         if self.blacks:
-            b_raw = np.asarray(dataload(self.blacks[int(self.rng.integers(len(self.blacks)))]))
+            b_raw = self._load_black(self.blacks[int(self.rng.integers(len(self.blacks)))])
             black = self.pack(b_raw.reshape(self.H, self.W), clip=False)
         else:
             black = np.zeros_like(hr)

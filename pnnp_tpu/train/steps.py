@@ -40,15 +40,23 @@ def clip_lr_hr(lr, hr, clip_mode):
     return lr, hr
 
 
+def _gtdn_ratio(key, n):
+    """'GTdn' command ratio law: max(U(-3, 4), 1) per example — mostly 1
+    (GT-denoising mode), occasionally up to 4 (reference syn_datasets.py:334)."""
+    return jnp.maximum(jax.random.uniform(key, (n,), minval=-3.0, maxval=4.0), 1.0)
+
+
 def make_raw_synth(camera_type: str, noise_code: str, ori: bool, clip: bool,
-                   iso=None, ratio=None):
+                   iso=None, ratio=None, gtdn: bool = False):
     """Physics noise synthesis on clean GT crops, fully batched."""
 
     def synth(key, batch):
         hr = batch["hr"]
         n = hr.shape[0]
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         params = sample_params_max(k1, camera_type, n=n, ratio=ratio, iso=iso)
+        if gtdn:
+            params = dict(params, ratio=_gtdn_ratio(k3, n))
         lr = generate_noisy(k2, hr, params, noise_code, ori=ori, clip=bool(clip))
         return lr, hr, params["ratio"]
 
@@ -56,7 +64,7 @@ def make_raw_synth(camera_type: str, noise_code: str, ori: bool, clip: bool,
 
 
 def make_raw_synth_packed(camera_type: str, noise_code: str, ori: bool, clip: bool,
-                          iso=None, ratio=None):
+                          iso=None, ratio=None, gtdn: bool = False):
     """Physics synthesis directly in the 4x4-superpixel packed layout.
 
     Same distribution as :func:`make_raw_synth` (row banding exact), but lr/hr
@@ -73,8 +81,10 @@ def make_raw_synth_packed(camera_type: str, noise_code: str, ori: bool, clip: bo
         if hr.shape[-1] == 4:
             hr = s2d(hr)
         n = hr.shape[0]
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         params = sample_params_max(k1, camera_type, n=n, ratio=ratio, iso=iso)
+        if gtdn:
+            params = dict(params, ratio=_gtdn_ratio(k3, n))
         lr = generate_noisy_packed(k2, hr, params, noise_code, ori=ori, clip=bool(clip))
         return lr, hr, params["ratio"]
 

@@ -241,9 +241,10 @@ class Trainer:
         ori = bool(self.dst.get("ori", False))
         clip = self.dst.get("clip", 0)
         if name in ("Raw_Dataset", "IMX686_Raw_Dataset"):
+            gtdn = "GTdn" in self.dst.get("command", "")
             if getattr(self, "_use_packed", False):
-                return make_raw_synth_packed(cam, code, ori, clip)
-            return make_raw_synth(cam, code, ori, clip)
+                return make_raw_synth_packed(cam, code, ori, clip, gtdn=gtdn)
+            return make_raw_synth(cam, code, ori, clip, gtdn=gtdn)
         if name in ("NF_Syn_Dataset", "Proxy_Dataset", "IMX686_NF_Syn_Dataset",
                     "IMX686_Proxy_Dataset") and self.proxy is not None:
             proxy, proxy_vars = self.proxy, self.proxy_vars

@@ -250,3 +250,46 @@ def test_mix_synth_hbr_applied_to_black_rows_only():
     np.testing.assert_allclose(np.asarray(lr_out[0]), 100.25, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(lr_out[1]), 0.25, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(hr_out), 0.0, atol=1e-7)
+
+
+def test_bias_buffer_command(tmp_path):
+    """'buffer' command preloads the bias library into memory once
+    (reference: phone_datasets.py:320-327); items then read from the buffer."""
+    from pnnp_tpu.data.phone import IMX686MixDataset
+
+    make_lrid_fixture(tmp_path)
+    rng = np.random.default_rng(5)
+    bias_root = tmp_path / "bias" / "6400"
+    os.makedirs(bias_root)
+    for j in range(2):
+        np.save(str(bias_root / f"black{j}.npy"),
+                (64 + rng.normal(0, 2, (32, 48))).astype(np.float32))
+
+    ds = IMX686MixDataset(phone_args(
+        tmp_path, dataset="IMX686_Mix_Dataset", command="alldg HB buffer",
+        bias_dir=str(tmp_path / "bias")), seed=7)
+    assert len(ds._bias_buf) == 2
+    for path, arr in ds._bias_buf.items():
+        np.testing.assert_array_equal(arr, np.load(path))
+        # buffered access returns the preloaded array, no disk read
+        assert ds._load_black(path) is arr
+    # items still produce black pastes
+    found = any(ds[i % len(ds)]["black_lr"].max() > 0 for i in range(40))
+    assert found
+
+
+def test_gtdn_ratio_law():
+    """'GTdn' command: synth ratio = max(U(-3,4),1) per example (reference
+    syn_datasets.py:334) — most examples train at ratio 1."""
+    import jax
+    import jax.numpy as jnp
+    from pnnp_tpu.train.steps import make_raw_synth
+
+    synth = make_raw_synth("SonyA7S2", "p", ori=False, clip=False, gtdn=True)
+    hr = jnp.full((256, 8, 8, 4), 0.25)
+    _, _, ratio = jax.jit(synth)(jax.random.key(0), {"hr": hr})
+    r = np.asarray(ratio)
+    assert r.shape == (256,)
+    assert r.min() >= 1.0 and r.max() <= 4.0
+    frac_one = float(np.mean(r == 1.0))
+    assert 0.3 < frac_one < 0.6  # P(U(-3,4) <= 1) = 4/7
