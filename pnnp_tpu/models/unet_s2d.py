@@ -24,7 +24,6 @@ equivalence is covered by tests/test_unet_s2d.py.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
@@ -85,7 +84,7 @@ def transform_params(params: dict, dtype: Any = jnp.bfloat16) -> dict:
     out = {}
     for name, leaf in params.items():
         k = jnp.asarray(leaf["kernel"], dtype)
-        b = jnp.asarray(leaf["bias"], dtype) if "bias" in leaf else None
+        b = jnp.asarray(leaf["bias"], dtype)
         if name.startswith("upv"):
             w1 = jnp.concatenate(
                 [k[1 - a_h, 1 - a_w] for a_h in (0, 1) for a_w in (0, 1)], axis=-1
@@ -117,28 +116,6 @@ def _s2d_conv_pre(g: jnp.ndarray, kp: jnp.ndarray, bias: jnp.ndarray) -> jnp.nda
                 )
             )
     return jnp.concatenate(groups, axis=-1) + bias
-
-
-def _s2d_conv(g: jnp.ndarray, k3: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
-    """3x3 SAME conv (full-res semantics) evaluated on the s2d tensor."""
-    D = k3.shape[3]
-    kp = _transform_conv3_kernel(k3)
-    n, h, w, _ = g.shape
-    gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    o = jax.lax.conv_general_dilated(
-        gp, kp, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    )  # [n, h+1, w+1, 4D]
-    groups = []
-    for ap_h in (0, 1):
-        for ap_w in (0, 1):
-            go = 2 * ap_h + ap_w
-            groups.append(
-                jax.lax.slice(
-                    o, (0, ap_h, ap_w, go * D), (n, ap_h + h, ap_w + w, (go + 1) * D)
-                )
-            )
-    out = jnp.concatenate(groups, axis=-1)
-    return out + jnp.tile(bias, 4)
 
 
 def _group_max(g: jnp.ndarray) -> jnp.ndarray:
@@ -240,59 +217,11 @@ def unet_s2d_forward(params: dict, x: jnp.ndarray, res: bool = False,
     """Evaluate UNetSeeInDark (standard flax params) via the s2d fast path.
 
     ``x``: [N, H, W, 4] with H, W divisible by 32. Returns float32.
-    Convenience wrapper that transforms weights inline; for the hot loop use
-    :func:`transform_params` + :func:`unet_s2d_forward_pre`.
+    Convenience wrapper: transforms weights inline and delegates to
+    :func:`unet_s2d_forward_pre` (use that pair directly in hot loops).
     """
-    p = jax.tree.map(lambda a: a.astype(dtype), params)
-    k = lambda name: p[name]["kernel"]
-    b = lambda name: p[name]["bias"]
-    xl = x.astype(dtype)
-
-    conv = lambda g, name: _lrelu(_s2d_conv(g, k(name), b(name)))
-
-    g1 = s2d(xl)                                # [H/2, 16]
-    c1 = conv(conv(g1, "conv1_1"), "conv1_2")   # 128
-    g2 = s2d(_group_max(c1))                    # [H/4, 128]
-    c2 = conv(conv(g2, "conv2_1"), "conv2_2")   # 256
-    g3 = s2d(_group_max(c2))                    # [H/8, 256]
-    c3 = conv(conv(g3, "conv3_1"), "conv3_2")   # 512
-    g4 = s2d(_group_max(c3))                    # [H/16, 512]
-    c4 = conv(conv(g4, "conv4_1"), "conv4_2")   # 1024
-    f5 = _group_max(c4)                         # [H/16, 256]
-
-    # Bottleneck stays in standard form (small spatial dims, 256+ channels).
-    std_conv = lambda t, name: _lrelu(
-        jax.lax.conv_general_dilated(
-            t, k(name), (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        )
-        + b(name)
-    )
-    c5 = std_conv(std_conv(f5, "conv5_1"), "conv5_2")  # [H/16, 512]
-
-    u6 = _group_concat(_up_as_1x1(c5, k("upv6"), b("upv6")), c4)   # [H/16, 2048]
-    c6 = conv(conv(u6, "conv6_1"), "conv6_2")                      # 1024
-    u7 = _group_concat(_up_as_1x1(d2s(c6), k("upv7"), b("upv7")), c3)  # [H/8, 1024]
-    c7 = conv(conv(u7, "conv7_1"), "conv7_2")                      # 512
-    u8 = _group_concat(_up_as_1x1(d2s(c7), k("upv8"), b("upv8")), c2)  # [H/4, 512]
-    c8 = conv(conv(u8, "conv8_1"), "conv8_2")                      # 256
-    u9 = _group_concat(_up_as_1x1(d2s(c8), k("upv9"), b("upv9")), c1)  # [H/2, 256]
-    c9 = conv(conv(u9, "conv9_1"), "conv9_2")                      # 128
-
-    # 1x1 head: block-diagonal over groups.
-    kh = k("conv10_1")[0, 0]  # [C, out]
-    n_, h_, w_, c4_ = c9.shape
-    head = jnp.einsum(
-        "nhwgc,cd->nhwgd", c9.reshape(n_, h_, w_, 4, c4_ // 4), kh
-    ) + b("conv10_1")
-    out = d2s(head.reshape(n_, h_, w_, -1))
-    if res:
-        out = out + xl
-    return out.astype(jnp.float32)
-
-
-def make_s2d_eval_fn(res: bool = False, dtype: Any = jnp.bfloat16):
-    """Jittable (params, x) -> denoised, for use as the fast eval path."""
-    return partial(unet_s2d_forward, res=res, dtype=dtype)
+    return unet_s2d_forward_pre(
+        transform_params(params, dtype), x, res=res, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -354,7 +283,7 @@ def transform_params_hybrid(params: dict, dtype: Any = jnp.bfloat16) -> dict:
     out = {}
     for name, leaf in params.items():
         k = jnp.asarray(leaf["kernel"], jnp.float32)
-        b = jnp.asarray(leaf["bias"], jnp.float32) if "bias" in leaf else None
+        b = jnp.asarray(leaf["bias"], jnp.float32)
         if name in ("conv1_1", "conv1_2", "conv9_2"):
             out[name] = {"kernel": transform_conv3_dense(k).astype(dtype),
                          "bias": jnp.tile(b, 4).astype(dtype)}
@@ -388,6 +317,45 @@ def transform_params_hybrid(params: dict, dtype: Any = jnp.bfloat16) -> dict:
     return out
 
 
+def _conv_same(t, kk):
+    return jax.lax.conv_general_dilated(
+        t, kk, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _mid_levels(tparams: dict, p1: jnp.ndarray) -> jnp.ndarray:
+    """Levels 2-8 of the packed forward (true-layout XLA convs): p1 -> c8.
+
+    Shared trunk of :func:`unet_hybrid_forward_packed` and
+    :func:`unet_fused_forward_packed` — the two differ only in how the L1
+    head and L9 tail are evaluated."""
+    k = lambda name: tparams[name]["kernel"]
+    b = lambda name: tparams[name]["bias"]
+    conv = lambda t, name: _lrelu(_conv_same(t, k(name)) + b(name))
+    up = lambda t, name: jax.lax.conv_transpose(
+        t, k(name), (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b(name)
+    pool = lambda t: jax.lax.reduce_window(
+        t, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+    def dec_conv(up_t, skip, name):
+        # split-add: conv the upsampled and skip halves separately (avoids
+        # materializing the channel concat)
+        kk = k(name)
+        cu = up_t.shape[-1]
+        h = _conv_same(up_t, kk[:, :, :cu]) + _conv_same(skip, kk[:, :, cu:])
+        return _lrelu(h + b(name))
+
+    c2 = conv(conv(p1, "conv2_1"), "conv2_2")
+    c3 = conv(conv(pool(c2), "conv3_1"), "conv3_2")
+    c4 = conv(conv(pool(c3), "conv4_1"), "conv4_2")
+    c5 = conv(conv(pool(c4), "conv5_1"), "conv5_2")
+    c6 = conv(dec_conv(up(c5, "upv6"), c4, "conv6_1"), "conv6_2")
+    c7 = conv(dec_conv(up(c6, "upv7"), c3, "conv7_1"), "conv7_2")
+    return conv(dec_conv(up(c7, "upv8"), c2, "conv8_1"), "conv8_2")
+
+
 def unet_hybrid_forward_packed(tparams: dict, g1: jnp.ndarray,
                                res_x: jnp.ndarray | None = None,
                                dtype: Any = jnp.bfloat16) -> jnp.ndarray:
@@ -404,53 +372,19 @@ def unet_hybrid_forward_packed(tparams: dict, g1: jnp.ndarray,
     k = lambda name: tparams[name]["kernel"]
     b = lambda name: tparams[name]["bias"]
     g1 = g1.astype(dtype)
-
-    conv = lambda t, name: _lrelu(
-        jax.lax.conv_general_dilated(
-            t, k(name), (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        )
-        + b(name)
-    )
-    up = lambda t, name: jax.lax.conv_transpose(
-        t, k(name), (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    ) + b(name)
-    pool = lambda t: jax.lax.reduce_window(
-        t, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    )
-
-    def dec_conv(up_t, skip, name):
-        kk = k(name)
-        cu = up_t.shape[-1]
-        h = jax.lax.conv_general_dilated(
-            up_t, kk[:, :, :cu], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + jax.lax.conv_general_dilated(
-            skip, kk[:, :, cu:], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        return _lrelu(h + b(name))
+    conv = lambda t, name: _lrelu(_conv_same(t, k(name)) + b(name))
 
     c1g = conv(conv(g1, "conv1_1"), "conv1_2")
     p1 = _group_max(c1g)
-    c2 = conv(conv(p1, "conv2_1"), "conv2_2")
-    c3 = conv(conv(pool(c2), "conv3_1"), "conv3_2")
-    c4 = conv(conv(pool(c3), "conv4_1"), "conv4_2")
-    c5 = conv(conv(pool(c4), "conv5_1"), "conv5_2")
-    c6 = conv(dec_conv(up(c5, "upv6"), c4, "conv6_1"), "conv6_2")
-    c7 = conv(dec_conv(up(c6, "upv7"), c3, "conv7_1"), "conv7_2")
-    c8 = conv(dec_conv(up(c7, "upv8"), c2, "conv8_1"), "conv8_2")
+    c8 = _mid_levels(tparams, p1)
 
     # upv9 is folded into conv9_1's up-path kernel (transform_params_hybrid);
     # the ones-channel carries upv9's bias with exact SAME-padding borders.
     ones = jnp.ones(c8.shape[:-1] + (1,), c8.dtype)
     h9 = _lrelu(
-        jax.lax.conv_general_dilated(
-            jnp.concatenate([c8, ones], axis=-1),
-            tparams["conv9_1"]["kernel_up"], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        + jax.lax.conv_general_dilated(
-            c1g, tparams["conv9_1"]["kernel_skip"], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        _conv_same(jnp.concatenate([c8, ones], axis=-1),
+                   tparams["conv9_1"]["kernel_up"])
+        + _conv_same(c1g, tparams["conv9_1"]["kernel_skip"])
         + b("conv9_1")
     )
     c9g = conv(h9, "conv9_2")
@@ -492,44 +426,9 @@ def unet_fused_forward_packed(tparams: dict, g1: jnp.ndarray,
     """
     from pnnp_tpu.kernels.s2d_chain import fused_head, fused_tail
 
-    k = lambda name: tparams[name]["kernel"]
-    b = lambda name: tparams[name]["bias"]
     g1 = g1.astype(dtype)
-
-    conv = lambda t, name: _lrelu(
-        jax.lax.conv_general_dilated(
-            t, k(name), (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        )
-        + b(name)
-    )
-    up = lambda t, name: jax.lax.conv_transpose(
-        t, k(name), (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    ) + b(name)
-    pool = lambda t: jax.lax.reduce_window(
-        t, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    )
-
-    def dec_conv(up_t, skip, name):
-        kk = k(name)
-        cu = up_t.shape[-1]
-        h = jax.lax.conv_general_dilated(
-            up_t, kk[:, :, :cu], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + jax.lax.conv_general_dilated(
-            skip, kk[:, :, cu:], (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        return _lrelu(h + b(name))
-
     c1g, p1 = fused_head(g1, tparams["_head"], interpret=interpret)
-    c2 = conv(conv(p1, "conv2_1"), "conv2_2")
-    c3 = conv(conv(pool(c2), "conv3_1"), "conv3_2")
-    c4 = conv(conv(pool(c3), "conv4_1"), "conv4_2")
-    c5 = conv(conv(pool(c4), "conv5_1"), "conv5_2")
-    c6 = conv(dec_conv(up(c5, "upv6"), c4, "conv6_1"), "conv6_2")
-    c7 = conv(dec_conv(up(c6, "upv7"), c3, "conv7_1"), "conv7_2")
-    c8 = conv(dec_conv(up(c7, "upv8"), c2, "conv8_1"), "conv8_2")
-
+    c8 = _mid_levels(tparams, p1)
     out = fused_tail(c8, c1g, tparams["_tail"], interpret=interpret)
     if res_x is not None:
         out = out + res_x.astype(out.dtype)

@@ -9,7 +9,8 @@ from pnnp_tpu.models.unet_s2d import (
     s2d,
     d2s,
     unet_s2d_forward,
-    _s2d_conv,
+    _s2d_conv_pre,
+    _transform_conv3_kernel,
     _group_max,
     _up_as_1x1,
 )
@@ -28,7 +29,8 @@ def test_s2d_conv_matches_conv3x3(rng):
     ref = jax.lax.conv_general_dilated(
         x, k3, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
     ) + bias
-    ours = d2s(_s2d_conv(s2d(x), k3, bias))
+    ours = d2s(_s2d_conv_pre(s2d(x), _transform_conv3_kernel(k3),
+                               jnp.tile(bias, 4)))
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
