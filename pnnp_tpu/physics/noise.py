@@ -48,11 +48,27 @@ def generate_noisy(
     numpy path's black-frame semantics (row/quant/bias suppressed under 'b',
     reference: process.py:609-622). ``mfm`` is MultiFrameMean.
     """
+    n, h, w, c = y.shape
+
+    def row_fn(k_row, MFM):
+        # Row noise: one draw per (example, row, channel), broadcast over w.
+        return jax.random.normal(k_row, (n, h, 1, c)) * _b(params["sigR"]) / MFM
+
+    bias_fn = lambda: params["bias"][:, None, None, :]
+    return _generate_noisy_core(key, y, params, noise_code, mfm, ori, clip,
+                                row_fn, bias_fn)
+
+
+def _generate_noisy_core(key, y, params, noise_code, mfm, ori, clip,
+                         row_fn, bias_fn):
+    """Shared physics of :func:`generate_noisy` / :func:`generate_noisy_packed`
+    — everything except the layout-dependent row-noise draw and bias
+    broadcast, which the wrappers inject (both are traced; zero runtime
+    cost)."""
     nc = NoiseCode(noise_code)
     use_r, use_q, use_tl = nc.row, nc.quant, nc.read_tukey
     use_p, use_d, use_black = nc.shot_poisson, nc.dark_bias, nc.black_mode
 
-    n, h, w, c = y.shape
     k_shot, k_read, k_row, k_quant = jax.random.split(key, 4)
     MFM = jnp.float32(mfm) ** 0.5
 
@@ -64,7 +80,12 @@ def generate_noisy(
         lam_shot = jnp.maximum(MFM * y_adu / K, 0.0)
         shot = jax.random.poisson(k_shot, lam_shot).astype(jnp.float32) * K / MFM
     else:
-        std = jnp.sqrt(jnp.maximum(y_adu / K, 1e-10))
+        # Gaussian stand-in for shot noise: variance y*K/MFM, consistent with
+        # the Poisson branch under M-frame averaging. (The reference's unused
+        # fallback, process.py:652, carries an extra 1/sqrt(MFM) and scales
+        # the mean; every reference recipe uses 'p', so we match the Poisson
+        # branch's physics instead.)
+        std = jnp.sqrt(jnp.maximum(MFM * y_adu / K, 1e-10))
         shot = y_adu + jax.random.normal(k_shot, y.shape) * std * K / MFM
 
     if use_black:
@@ -76,16 +97,12 @@ def generate_noisy(
             )
         else:
             read = jax.random.normal(k_read, y.shape) * _b(params["sigGs"]) / MFM
-        if use_r:
-            # Row noise: one draw per (example, row, channel), broadcast over w.
-            row = jax.random.normal(k_row, (n, h, 1, c)) * _b(params["sigR"]) / MFM
-        else:
-            row = 0.0
+        row = row_fn(k_row, MFM) if use_r else 0.0
         if use_q:
             quant = (jax.random.uniform(k_quant, y.shape) - 0.5) * _b(params["q"] * scale)
         else:
             quant = 0.0
-        bias = params["bias"][:, None, None, :] if use_d else 0.0
+        bias = bias_fn() if use_d else 0.0
 
     z = (shot + read + row + quant + bias) / _b(scale)
     if clip:
@@ -115,61 +132,31 @@ def generate_noisy_packed(
     exact banding structure of the unpacked generator. Enables fully-packed
     training pipelines (no device-side relayout of 4-lane tensors).
     """
-    nc = NoiseCode(noise_code)
-    use_r, use_q, use_tl = nc.row, nc.quant, nc.read_tukey
-    use_p, use_d, use_black = nc.shot_poisson, nc.dark_bias, nc.black_mode
-
     n, h, w, c16 = g.shape
     assert c16 == 16, "packed layout has 16 channels"
-    k_shot, k_read, k_row, k_quant = jax.random.split(key, 4)
-    MFM = jnp.float32(mfm) ** 0.5
 
-    scale = params["wp"] - params["bl"]
-    y_adu = g * _b(scale) / _b(params["ratio"])
-    K = _b(params["K"])
+    def row_fn(k_row, MFM):
+        # per (example, packed-row, aH, channel); broadcast over (w, aW)
+        r = jax.random.normal(k_row, (n, h, 1, 2, 1, 4)) * (
+            params["sigR"].reshape(-1, 1, 1, 1, 1, 1) / MFM
+        )
+        return jnp.broadcast_to(r, (n, h, 1, 2, 2, 4)).reshape(n, h, 1, 16)
 
-    if use_p:
-        lam_shot = jnp.maximum(MFM * y_adu / K, 0.0)
-        shot = jax.random.poisson(k_shot, lam_shot).astype(jnp.float32) * K / MFM
-    else:
-        std = jnp.sqrt(jnp.maximum(y_adu / K, 1e-10))
-        shot = y_adu + jax.random.normal(k_shot, g.shape) * std * K / MFM
-
-    if use_black:
-        read = row = quant = bias = 0.0
-    else:
-        if use_tl:
-            read = tukeylambda_sample(
-                k_read, _b(params["lam"]), _b(params["sigTL"]) / MFM, g.shape
-            )
-        else:
-            read = jax.random.normal(k_read, g.shape) * _b(params["sigGs"]) / MFM
-        if use_r:
-            # per (example, packed-row, aH, channel); broadcast over (w, aW)
-            r = jax.random.normal(k_row, (n, h, 1, 2, 1, 4)) * (
-                params["sigR"].reshape(-1, 1, 1, 1, 1, 1) / MFM
-            )
-            row = jnp.broadcast_to(r, (n, h, 1, 2, 2, 4)).reshape(n, h, 1, 16)
-        else:
-            row = 0.0
-        if use_q:
-            quant = (jax.random.uniform(k_quant, g.shape) - 0.5) * _b(params["q"] * scale)
-        else:
-            quant = 0.0
-        bias = jnp.tile(params["bias"], (1, 4))[:, None, None, :] if use_d else 0.0
-
-    z = (shot + read + row + quant + bias) / _b(scale)
-    if clip:
-        z = jnp.clip(z, 0.0, 1.0)
-    else:
-        z = jnp.clip(z, _b(-params["bl"] / params["wp"]), 1.0)
-    if not ori:
-        z = z * _b(params["ratio"])
-    return z
+    bias_fn = lambda: jnp.tile(params["bias"], (1, 4))[:, None, None, :]
+    return _generate_noisy_core(key, g, params, noise_code, mfm, ori, clip,
+                                row_fn, bias_fn)
 
 
-def _k_and_wp_for(key, camera_type: str, iso: jnp.ndarray):
-    """Per-example (K, wp, bl) at given float ISOs, table or regression fallback."""
+def _k_and_wp_for(key, camera_type: str, iso: jnp.ndarray | None, n: int = 1):
+    """Per-example (K, wp, bl) at given float ISOs, table or regression
+    fallback; ``iso=None`` -> the table's top-ISO Kmax with +-1% jitter
+    (reference: process.py:517-518)."""
+    if iso is None:
+        table = calib.ISO_TABLES[camera_type]
+        K = jnp.full((n,), table["Kmax"][-1]) * (
+            1.0 + jax.random.uniform(key, (n,), minval=-0.01, maxval=0.01)
+        )
+        return K, jnp.full((n,), table["wp"]), jnp.full((n,), table["bl"])
     if camera_type == "SonyA7S2":
         p = params_at_iso_regression(key, camera_type, iso)
         return p["K"], p["wp"], p["bl"]
@@ -204,15 +191,9 @@ def sna(
     n = gt.shape[0]
     k_p, k_shot = jax.random.split(key)
     ratio = jnp.broadcast_to(jnp.asarray(ratio, jnp.float32), (n,))
-    if iso is None:
-        table = calib.ISO_TABLES[camera_type]
-        K = jnp.full((n,), table["Kmax"][-1]) * (
-            1.0 + jax.random.uniform(k_p, (n,), minval=-0.01, maxval=0.01)
-        )
-        wp = jnp.full((n,), table["wp"])
-        bl = jnp.full((n,), table["bl"])
-    else:
-        K, wp, bl = _k_and_wp_for(k_p, camera_type, jnp.asarray(iso, jnp.float32))
+    K, wp, bl = _k_and_wp_for(
+        k_p, camera_type,
+        None if iso is None else jnp.asarray(iso, jnp.float32), n=n)
 
     scale = wp - bl
     gt_adu = gt * _b(scale) / _b(ratio)
@@ -255,15 +236,9 @@ def raw_wb_aug(
         return noisy, gt
 
     k_p, k_shot = jax.random.split(key)
-    if iso is None:
-        table = calib.ISO_TABLES[camera_type]
-        K = jnp.full((n,), table["Kmax"][-1]) * (
-            1.0 + jax.random.uniform(k_p, (n,), minval=-0.01, maxval=0.01)
-        )
-        wp = jnp.full((n,), table["wp"])
-        bl = jnp.full((n,), table["bl"])
-    else:
-        K, wp, bl = _k_and_wp_for(k_p, camera_type, jnp.asarray(iso, jnp.float32))
+    K, wp, bl = _k_and_wp_for(
+        k_p, camera_type,
+        None if iso is None else jnp.asarray(iso, jnp.float32), n=n)
 
     scale = wp - bl
     gt_adu = gt * _b(scale) / _b(ratio)

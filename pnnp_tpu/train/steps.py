@@ -115,7 +115,7 @@ def make_proxy_synth(sample_fn: Callable, ori: bool = False,
 
 
 def make_mix_synth(camera_type: str, command: str = "augv5", ori: bool = False,
-                   hbr_map: Callable | None = None):
+                   hbr_map: Callable | None = None, host_amplified: bool = False):
     """PMN-style SNA over *real* noisy/clean pairs.
 
     batch needs: hr, lr, ratio [n], iso [n], wb [n, 4], and optionally
@@ -124,6 +124,10 @@ def make_mix_synth(camera_type: str, command: str = "augv5", ori: bool = False,
     phone_datasets.py:585-640). ``hbr_map(key, lr) -> lr`` is the
     HighBitRecovery remap applied to the bias-frame crops (quantized read
     noise -> continuous, reference: phone_datasets.py:632).
+
+    ``host_amplified``: the loader already multiplied lr by ratio (the IMX686
+    loaders do, inheriting the paired path); skip the device-side multiply so
+    the amplification happens exactly once.
     """
 
     def synth(key, batch):
@@ -140,7 +144,7 @@ def make_mix_synth(camera_type: str, command: str = "augv5", ori: bool = False,
         if hbr_map is not None:
             mask = black.reshape(-1, 1, 1, 1)
             lr = jnp.where(mask > 0, hbr_map(k3, lr), lr)
-        lr = lr if ori else lr * ratio.reshape(-1, 1, 1, 1)
+        lr = lr if (ori or host_amplified) else lr * ratio.reshape(-1, 1, 1, 1)
         dn, dy = sna(k2, hr, aug_wb, camera_type=camera_type, ratio=ratio,
                      iso=batch.get("iso"), black_lr=black, ori=ori)
         return lr + dn, hr + dy, ratio

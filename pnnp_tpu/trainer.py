@@ -240,13 +240,23 @@ class Trainer:
         code = self.dst.get("noise_code", "p")
         ori = bool(self.dst.get("ori", False))
         clip = self.dst.get("clip", 0)
+        # dataset-level flags live in the dst_train block (falling back to
+        # the shared dst block); either may be an explicit empty string
+        command = (self.args["dst_train"].get("command")
+                   or self.dst.get("command") or "")
         if name in ("Raw_Dataset", "IMX686_Raw_Dataset"):
-            gtdn = "GTdn" in self.dst.get("command", "")
+            gtdn = "GTdn" in command
             if getattr(self, "_use_packed", False):
                 return make_raw_synth_packed(cam, code, ori, clip, gtdn=gtdn)
             return make_raw_synth(cam, code, ori, clip, gtdn=gtdn)
         if name in ("NF_Syn_Dataset", "Proxy_Dataset", "IMX686_NF_Syn_Dataset",
-                    "IMX686_Proxy_Dataset") and self.proxy is not None:
+                    "IMX686_Proxy_Dataset"):
+            if self.proxy is None:
+                # silently falling through to identity_synth would train the
+                # net on noise-free pairs (lr == hr) for the whole run
+                raise RuntimeError(
+                    f"{name} requires a proxy network: set arch_proxy in the "
+                    "runfile (and make its checkpoint loadable)")
             proxy, proxy_vars = self.proxy, self.proxy_vars
 
             def sample_fn(rng, clean, iso):
@@ -260,18 +270,27 @@ class Trainer:
             synth = make_proxy_synth(sample_fn, ori=ori, ratio_range=rng_range)
             return pack_synth(synth) if self._use_packed else synth
         if name in ("Mix_Dataset", "IMX686_Mix_Dataset"):
-            command = self.dst.get("command", "augv5")
+            command = command or "augv5"
             hbr_map = None
-            if "HB" in command:
-                # bias-frame pasting: HighBitRecovery LUT remap runs on-device
-                # inside the synth (reference: phone_datasets.py:546-555, 632)
+            if name == "IMX686_Mix_Dataset" and "HB" in command:
+                # LRID bias pasting defers the HighBitRecovery remap to the
+                # device synth (phone.py emits raw bias crops; the LRID bias
+                # library is pinned at ISO 6400 — reference
+                # phone_datasets.py:631). Sony's Mix_Dataset applies HBR on
+                # the HOST with the per-sample nearest-ISO LUT
+                # (datasets.py:412-414, reference real_datasets.py:471-473);
+                # a second device remap would re-dither with the wrong ISO.
                 from pnnp_tpu.physics import HighBitRecovery
 
                 iso = int(self.dst.get("iso", 6400))
                 hbr = HighBitRecovery(camera_type=cam, noise_code=code)
                 hbr.get_lut([iso])
                 hbr_map = lambda k, x: hbr.map(k, x, iso=iso)
-            synth = make_mix_synth(cam, command, ori=ori, hbr_map=hbr_map)
+            # the IMX686 Mix loader inherits the paired loader's host-side
+            # lr*dgain amplification (phone.py); Sony's Mix loader does not
+            # amplify (the synth does it, like the reference's preprocess)
+            synth = make_mix_synth(cam, command, ori=ori, hbr_map=hbr_map,
+                                   host_amplified=name == "IMX686_Mix_Dataset")
             return pack_synth(synth) if self._use_packed else synth
         if name in ("SFRN_Dataset", "IMX686_SFRN_Raw_Dataset"):
             # black-frame mode: shot-only synthesis (noise_code+'b') on the GT
@@ -332,8 +351,28 @@ class Trainer:
             )
         return self.eval_step(self.state, lr)
 
+    def _recover_state(self):
+        """Rebuild a usable train state after a failed (donated) step."""
+        patch = int(self.dst.get("patch_size", 512))
+        example = jnp.zeros((1, patch, patch, self.arch.get("in_nc", 4)))
+        self.state = create_train_state(jax.random.key(self.seed), self.model, example)
+        restored = self.ckpt.restore("last")
+        if restored is not None:
+            self.state = self.state.replace(
+                params=jax.tree.map(jnp.asarray, restored["params"]),
+                batch_stats=restored.get("batch_stats"),
+            )
+            log(f"Recovered params from last checkpoint "
+                f"(epoch {restored['meta'].get('epoch')})")
+        else:
+            log("No checkpoint to recover from; re-initialized fresh params")
+        self._place_state()
+
     def _try_restore(self):
-        restored = self.ckpt.restore("best" if self.mode != "train" else "last")
+        # trainonly is a training mode: resume from 'last' like 'train'
+        # (eval modes want the best-PSNR weights instead)
+        restored = self.ckpt.restore(
+            "last" if self.mode in ("train", "trainonly") else "best")
         if restored is not None:
             self.state = self.state.replace(
                 params=jax.tree.map(jnp.asarray, restored["params"]),
@@ -382,8 +421,13 @@ class Trainer:
                 # Fault tolerance: log and continue with the next epoch (the
                 # reference does the same for OOM-class failures,
                 # trainer_LRID.py:131-135). The LR is a pure function of the
-                # epoch, so skipping a partial epoch is safe.
-                log(f"Epoch {epoch} aborted by RuntimeError: {e}; continuing")
+                # epoch, so skipping a partial epoch is safe — but unlike the
+                # reference's torch module, our jitted step DONATES the state
+                # buffers, so after a failed step self.state may alias freed
+                # memory. Rebuild it from the last checkpoint (fresh init if
+                # none) before continuing.
+                log(f"Epoch {epoch} aborted by RuntimeError: {e}; recovering state")
+                self._recover_state()
             self.train_psnr.record()
             shares = self.timer.shares()
             log(
@@ -613,9 +657,10 @@ def main(argv=None):
         if mode == "evaltest" and trainer.dst_test and (
             trainer.dst_test.get("dataset") != trainer.dst_eval.get("dataset")
         ):
-            trainer.dataset_eval = build_dataset(
-                dict(trainer.dst_test, mode="evaltest"), seed=trainer.seed
-            )
+            # eval() reads ori/brightness settings from dst_eval, so swap the
+            # whole block (not just the dataset) for the test-split sweep
+            trainer.dst_eval = dict(trainer.dst_test, mode="evaltest")
+            trainer.dataset_eval = build_dataset(trainer.dst_eval, seed=trainer.seed)
             sweep(trainer.dataset_eval,
                   list(trainer.dst_test.get("ratio_list", [100, 250, 300])))
 

@@ -128,3 +128,88 @@ def test_sfrn_packed_synth_via_trainer_dispatch(rng, tmp_path, monkeypatch):
     expected = np.asarray(s2d(read)) * np.asarray(ratio).reshape(-1, 1, 1, 1)
     np.testing.assert_allclose(np.asarray(lr), expected, rtol=1e-6, atol=1e-8)
     np.testing.assert_array_equal(np.asarray(hr), 0.0)
+
+
+def test_mix_synth_amplification_convention(rng):
+    """Amplification must happen exactly once: the IMX686 Mix loaders
+    host-amplify lr by dgain (inherited from the paired path), so the synth
+    must skip its ratio multiply there (host_amplified=True); Sony's Mix
+    loader emits unamplified lr and the synth multiplies. Regression: IMX686
+    Mix training with ori:false fed the net dgain^2-scaled inputs."""
+    base = rng.uniform(0, 0.01, (2, 8, 8, 4)).astype(np.float32)
+    dgain = 8.0
+    batch = {
+        "hr": jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 4)).astype(np.float32)),
+        "ratio": jnp.full((2,), dgain),
+        "iso": jnp.full((2,), 6400.0),
+        "wb": jnp.ones((2, 4)),
+    }
+    # command without augv2/augv5 -> aug_wb = 0 -> SNA terms are exactly 0
+    synth_phone = make_mix_synth("IMX686", command="noaug", ori=False,
+                                 host_amplified=True)
+    lr, hr, _ = synth_phone(jax.random.key(0),
+                            dict(batch, lr=jnp.asarray(base * dgain)))
+    np.testing.assert_allclose(np.asarray(lr), base * dgain, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(hr), np.asarray(batch["hr"]), rtol=1e-6)
+
+    synth_sony = make_mix_synth("SonyA7S2", command="noaug", ori=False)
+    lr2, _, _ = synth_sony(jax.random.key(0), dict(batch, lr=jnp.asarray(base)))
+    np.testing.assert_allclose(np.asarray(lr2), base * dgain, rtol=1e-6)
+
+
+def test_mix_dispatch_wiring(tmp_path, monkeypatch):
+    """Trainer wires host_amplified + device-HBR per camera: IMX686 Mix gets
+    host_amplified=True and a device hbr_map; Sony Mix gets neither (its
+    loader host-applies HBR with the per-sample nearest-ISO LUT)."""
+    import pickle
+    import yaml
+
+    import pnnp_tpu.trainer as trainer_mod
+    from tests.test_train_data import make_sid_fixture
+    from tests.test_phone_and_nf import make_lrid_fixture, phone_args
+
+    captured = {}
+    real = trainer_mod.make_mix_synth
+
+    def spy(cam, command, ori=False, hbr_map=None, host_amplified=False):
+        captured[cam] = dict(hbr=hbr_map is not None,
+                             host_amplified=host_amplified)
+        return real(cam, command, ori=ori, hbr_map=hbr_map,
+                    host_amplified=host_amplified)
+
+    monkeypatch.setattr(trainer_mod, "make_mix_synth", spy)
+    monkeypatch.chdir(tmp_path)
+    make_sid_fixture(tmp_path, n_scenes=2, H=32, W=48)
+    runfile = {
+        "mode": "trainonly", "checkpoint": "sm", "fast_ckpt": "ck",
+        "model_name": "mixwire", "num_workers": 0,
+        "dst": {"dataset": "Mix_Dataset", "dstname": "SID", "command": "HB augv5",
+                "camera_type": "SonyA7S2", "noise_code": "p", "patch_size": 16,
+                "H": 32, "W": 48, "crop_per_image": 1, "croptype": "random_crop",
+                "wp": 16383, "bl": 512, "ori": False, "clip": 0,
+                "infos_dir": str(tmp_path / "infos")},
+        "arch": {"name": "UNetSeeInDark", "nf": 4, "nframes": 1},
+        "hyper": {"lr_scheduler": "fixed", "learning_rate": 1e-4, "batch_size": 1,
+                  "stop_epoch": 1, "last_epoch": 0, "save_freq": 1,
+                  "plot_freq": 10, "best_psnr": 0},
+    }
+    runfile["dst_train"] = dict(runfile["dst"], mode="train")
+    with open(tmp_path / "m.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+    t = trainer_mod.Trainer(str(tmp_path / "m.yml"), mode="trainonly", debug=True)
+    t._make_synth()
+    assert captured["SonyA7S2"] == {"hbr": False, "host_amplified": False}
+
+    make_lrid_fixture(tmp_path)
+    runfile["dst"]["dataset"] = "IMX686_Mix_Dataset"
+    runfile["dst"].update(dstname="indoor_x5", camera_type="IMX686",
+                          H=32, W=48, wp=1023, bl=64,
+                          GT_type="GT_align_ours", ratio_list=[1, 2],
+                          command="alldg HB")
+    runfile["dst_train"] = dict(runfile["dst"], mode="train")
+    runfile["model_name"] = "mixwire686"
+    with open(tmp_path / "m2.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+    t2 = trainer_mod.Trainer(str(tmp_path / "m2.yml"), mode="trainonly", debug=True)
+    t2._make_synth()
+    assert captured["IMX686"] == {"hbr": True, "host_amplified": True}
