@@ -1,18 +1,44 @@
-"""Pallas TPU kernels for the serving fast path.
+"""Pallas TPU kernels — currently empty by measurement, not neglect.
 
-`s2d_chain` fuses the UNet's level-1 stacks in the exact 2x2-block s2d form.
+Two generations of hand-written kernels for the UNet serving path lived
+here and were removed after losing to the XLA path they targeted. The
+post-mortems matter more than the code; both are preserved in git history.
 
-History: an im2col conv3x3 kernel (exact, fused bias+LeakyReLU) lived here
-through round 1; it stayed grid/VMEM-liveness-bound at ~12 ms/frame-equiv
-vs XLA's ~2 ms and was removed — the winning strategy is not to beat XLA at
-a single conv but to (a) change the representation so convs are 128-lane
-dense (dense-s2d, models/unet_s2d.py) and (b) fuse the relayout-bound glue
-around them in VMEM (s2d_chain).
+1. **im2col conv3x3** (round 1, removed at commit 6ee82c2): exact fused
+   conv+bias+LeakyReLU; stayed grid/VMEM-liveness-bound at ~12 ms per
+   frame-equivalent vs XLA's ~2 ms. Lesson: don't fight XLA at a single
+   dense conv — change the representation instead (that insight became
+   models/unet_s2d.py, the production fast path).
+
+2. **s2d_chain fused head/tail** (round 2, removed at this commit): the
+   UNet's level-1 encoder head (conv1_1+conv1_2+group_max) and decoder tail
+   (upv9+conv9_1+conv9_2+1x1-head) as single Pallas kernels in the exact
+   2x2-block s2d form — 1.78x structural FLOPs instead of the dense-3x3
+   form's 4x, per-group selection as lane-preserving masked adds in VMEM,
+   group_max via MXU permutation matmuls, upv9 folded into conv9_1's block
+   kernel through an appended ones-channel. Exact (interpret-mode tested)
+   and heavily tuned (row-chunked f32 accumulators, bf16 scratch,
+   store-realigned windows). Measured on v5e at the only compilable tile
+   (th=32, tw=136; all larger tiles exhaust VMEM — scoped-vmem accounting
+   is ~5-10x pessimistic): tail 10.4 ms vs the folded XLA tail's ~6.7 ms
+   composed marginal; head 7.5 ms vs XLA's ~6.5 ms. A shift/select/chunk
+   ablation of the tail kernel (2026-08-17) showed the suspected overheads
+   were noise: no-column-shifts 10.34 ms, no-shifts-at-all 10.10 ms,
+   no-group-select 10.19 ms, chunk=64 11.08 ms — i.e. the kernel sat at its
+   MAC/issue-bound structural floor (~30 TFLOP/s effective) with <3%
+   recoverable. XLA runs the dense-s2d form at ~77 TFLOP/s dense-rate
+   composed, so its 4x structural zeros cost less than Pallas's issue
+   overheads on this shape class.
+
+   What DID win instead (models/unet_s2d.py): folding upv9's s2d 1x1 into
+   conv9_1's kernel at transform time (-2.3 ms) and lane-slice group_max
+   (-1.4 ms) — XLA-level rewrites that shed glue and structural-zero work
+   rather than re-scheduling the MACs.
+
+Net lesson for this workload: with both GEMM dims 128-aligned (the whole
+point of the s2d representation), XLA's conv scheduling is already at the
+machine's effective roofline; hand kernels only pay off where the
+representation itself can't be fixed. The host-side C++ packer
+(native/rawproc.cpp) and the packed-layout pipeline are where the
+non-compiler wins live.
 """
-
-from pnnp_tpu.kernels.s2d_chain import (  # noqa: F401
-    fused_head,
-    fused_tail,
-    head_weights,
-    tail_weights,
-)

@@ -326,9 +326,8 @@ def _conv_same(t, kk):
 def _mid_levels(tparams: dict, p1: jnp.ndarray) -> jnp.ndarray:
     """Levels 2-8 of the packed forward (true-layout XLA convs): p1 -> c8.
 
-    Shared trunk of :func:`unet_hybrid_forward_packed` and
-    :func:`unet_fused_forward_packed` — the two differ only in how the L1
-    head and L9 tail are evaluated."""
+    Factored out so alternative head/tail implementations (e.g. the removed
+    Pallas fused chains, kernels/__init__.py post-mortem) can share it."""
     k = lambda name: tparams[name]["kernel"]
     b = lambda name: tparams[name]["bias"]
     conv = lambda t, name: _lrelu(_conv_same(t, k(name)) + b(name))
@@ -397,41 +396,6 @@ def unet_hybrid_forward_packed(tparams: dict, g1: jnp.ndarray,
     out = head.reshape(n_, h_, w_, -1)
     if res_x is not None:
         out = out + res_x.astype(dtype)
-    return out
-
-
-def transform_params_fused(params: dict, dtype: Any = jnp.bfloat16) -> dict:
-    """Pre-transform for :func:`unet_fused_forward_packed`: the hybrid tree
-    plus the Pallas fused-tail weights (kernels/s2d_chain.py), built from the
-    same standard UNetSeeInDark param tree."""
-    from pnnp_tpu.kernels.s2d_chain import head_weights, tail_weights
-
-    out = transform_params_hybrid(params, dtype)
-    out["_tail"] = tail_weights(params, dtype)
-    out["_head"] = head_weights(params, dtype)
-    return out
-
-
-def unet_fused_forward_packed(tparams: dict, g1: jnp.ndarray,
-                              res_x: jnp.ndarray | None = None,
-                              dtype: Any = jnp.bfloat16,
-                              interpret: bool = False) -> jnp.ndarray:
-    """Packed forward with the Pallas fused decoder tail (serving fast path).
-
-    Identical function to :func:`unet_hybrid_forward_packed`; the
-    conv1_1+conv1_2+group_max head and the upv9+conv9_1+conv9_2+head tail
-    each run as one Pallas kernel in the exact 2x2-block s2d form (1.78x
-    FLOPs instead of the dense form's 4x, group select in VMEM). Forward-only
-    (no custom VJP): use for eval/serving; training keeps the XLA path.
-    """
-    from pnnp_tpu.kernels.s2d_chain import fused_head, fused_tail
-
-    g1 = g1.astype(dtype)
-    c1g, p1 = fused_head(g1, tparams["_head"], interpret=interpret)
-    c8 = _mid_levels(tparams, p1)
-    out = fused_tail(c8, c1g, tparams["_tail"], interpret=interpret)
-    if res_x is not None:
-        out = out + res_x.astype(out.dtype)
     return out
 
 
