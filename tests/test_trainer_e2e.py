@@ -129,3 +129,56 @@ def test_eval_log_format_matches_reference(tmp_path, monkeypatch):
     assert re.search(r"Epoch -1: PSNR=\d+\.\d\d", logtext)
     assert re.search(r"psnrs_lr=\d+\.\d\d, psnrs_dn=\d+\.\d\d", logtext)
     assert re.search(r"ssims_lr=[\d.]+, ssims_dn=[\d.]+", logtext)
+
+
+def test_runtime_error_recovery(tmp_path, monkeypatch):
+    """A RuntimeError mid-epoch must not poison the donated train state: the
+    trainer recovers from the last checkpoint (or fresh init) and subsequent
+    epochs keep training (regression: state aliased freed buffers and every
+    later step re-raised)."""
+    monkeypatch.chdir(tmp_path)
+    make_sid_fixture(tmp_path, n_scenes=3, H=32, W=48)
+
+    runfile = {
+        "mode": "trainonly", "checkpoint": "sm", "fast_ckpt": "ck",
+        "model_name": "RECOVER_Unet", "num_workers": 0,
+        "dst": {"root_dir": ".", "dataset": "Raw_Dataset", "dstname": "SID",
+                "command": "", "camera_type": "SonyA7S2", "noise_code": "p",
+                "patch_size": 8, "H": 32, "W": 48, "crop_per_image": 1,
+                "croptype": "random_crop", "wp": 16383, "bl": 512,
+                "ori": False, "clip": 2, "gpu_preprocess": True,
+                "infos_dir": str(tmp_path / "infos")},
+        "arch": {"name": "UNetSeeInDark", "in_nc": 4, "out_nc": 4, "nf": 4,
+                 "nframes": 1, "res": False},
+        "hyper": {"lr_scheduler": "fixed", "learning_rate": 1e-3,
+                  "batch_size": 1, "last_epoch": 0, "stop_epoch": 3,
+                  "save_freq": 1, "plot_freq": 50, "best_psnr": 0},
+    }
+    runfile["dst_train"] = dict(runfile["dst"], mode="train")
+    with open(tmp_path / "run.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+
+    from pnnp_tpu.trainer import Trainer
+
+    t = Trainer(str(tmp_path / "run.yml"), mode="trainonly", debug=True)
+    real_step = t.train_step
+    state = {"fail_next": False, "failed": 0, "ok": 0}
+
+    def flaky_step(s, batch, key, epoch):
+        if state["fail_next"]:
+            state["fail_next"] = False
+            state["failed"] += 1
+            raise RuntimeError("injected OOM")
+        state["ok"] += 1
+        return real_step(s, batch, key, epoch)
+
+    t.train_step = flaky_step
+    state["fail_next"] = True  # first step of epoch 1 fails
+    t.train()
+    assert state["failed"] == 1 and state["ok"] > 0
+    # params survived recovery and later epochs trained + checkpointed
+    import jax
+
+    leaf = np.asarray(jax.tree_util.tree_leaves(t.state.params)[0])
+    assert np.isfinite(leaf).all()
+    assert t.ckpt.restore("last") is not None
