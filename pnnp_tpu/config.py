@@ -19,7 +19,7 @@ COMMAND_FLAGS = (
     "darkshading", "darkshading2", "++", "blc", "blc2", "nblc", "HB", "preHB",
     "lr10", "idremap", "augv2", "augv5", "alldg", "rdg", "cache", "buffer",
     "small", "small2", "small3", "limitediso", "exactiso", "lowISO", "highISO",
-    "GTdn", "isp", "trainonly", "ratiofix",
+    "GTdn", "isp", "trainonly", "ratiofix", "hotfix",
 )
 
 

@@ -81,7 +81,7 @@ class BaseRawDataset:
         | set(range(211, 229)) | {230, 231, 232}
     )
 
-    def hot_check(self, name) -> bool:
+    def sony_hot_check(self, name) -> bool:
         """True when scene id chars [2:5] of ``name`` are in the hot list
         (reference: real_datasets.py:241-254)."""
         try:
@@ -93,7 +93,7 @@ class BaseRawDataset:
         """Opt-in 'hotfix' command: +2 ADU on hot-scene shorts after dark
         shading. The reference carries this correction commented out at its
         only call site (real_datasets.py:552); off by default for parity."""
-        if "hotfix" in self.command and not black_lr and self.hot_check(name):
+        if "hotfix" in self.command and not black_lr and self.sony_hot_check(name):
             lr_raw = lr_raw + 2.0
         return lr_raw
 

@@ -111,13 +111,13 @@ def test_sony_hot_check_table():
 
     ds = BaseRawDataset()
     # name[2:5] is the scene id: '10072_00_10s' -> 072
-    assert ds.hot_check("10072_00_10s.ARW")
-    assert ds.hot_check("10232_00")
-    assert not ds.hot_check("10071_00")
-    assert not ds.hot_check("10178_00")  # gap 178-182
-    assert not ds.hot_check("10210_00")
-    assert not ds.hot_check("10233_00")
-    assert not ds.hot_check("weird-name")
+    assert ds.sony_hot_check("10072_00_10s.ARW")
+    assert ds.sony_hot_check("10232_00")
+    assert not ds.sony_hot_check("10071_00")
+    assert not ds.sony_hot_check("10178_00")  # gap 178-182
+    assert not ds.sony_hot_check("10210_00")
+    assert not ds.sony_hot_check("10233_00")
+    assert not ds.sony_hot_check("weird-name")
 
 
 def test_hotfix_command_gates_plus2(tmp_path):
