@@ -37,9 +37,13 @@ def shard_batch(mesh: Mesh, batch, batch_dim_size: Optional[int] = None):
     sharded; everything else (per-sample metadata with odd collation, e.g.
     ccm matrices) is replicated.
     """
+    n = mesh.shape["data"]
+
     def put(x):
-        sharded = getattr(x, "ndim", 0) >= 1 and (
-            batch_dim_size is None or x.shape[0] == batch_dim_size
+        sharded = (
+            getattr(x, "ndim", 0) >= 1
+            and (batch_dim_size is None or x.shape[0] == batch_dim_size)
+            and x.shape[0] % n == 0  # replicate odd-collated metadata (ccm etc.)
         )
         spec = P("data") if sharded else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -62,9 +66,17 @@ def make_sharded_train_step(mesh: Mesh, train_step):
     """
 
     def step(state, batch, key, epoch):
-        batch = jax.lax.with_sharding_constraint(
-            batch, NamedSharding(mesh, P("data"))
-        )
+        # Per-leaf specs mirroring shard_batch: rank-0 leaves and
+        # replicated odd-collation metadata (e.g. a [3,3] ccm) stay
+        # replicated; only batch-major leaves shard over 'data'.
+        n = mesh.shape["data"]
+
+        def constrain(x):
+            sharded = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
+            spec = P("data") if sharded else P()
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+        batch = jax.tree.map(constrain, batch)
         return train_step(state, batch, key, epoch)
 
     return jax.jit(step, donate_argnums=(0,))
@@ -87,6 +99,13 @@ def spatial_eval(mesh: Mesh, apply_fn, image: jnp.ndarray, halo: int = 32):
     nsp = mesh.shape[axis]
     if nsp == 1:
         return apply_fn(image)
+    if halo == 0:
+        # no halo exchange: shard-local eval ('-0:' slices would grab whole
+        # shards and the final de-halo slice would be empty)
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(apply_fn, mesh=mesh, in_specs=P(None, None, axis, None),
+                   out_specs=P(None, None, axis, None))(image)
 
     def worker(img):
         # img: [n, H, W/nsp, C] local shard

@@ -108,7 +108,9 @@ def make_proxy_synth(sample_fn: Callable, ori: bool = False,
         iso = jnp.asarray(LEGAL_ISO)[iso_idx]
         rb = ratio.reshape(-1, 1, 1, 1)
         noise = sample_fn(k3, hr / rb, iso)
-        lr = hr + (noise * rb if not ori else noise)
+        # ori=True keeps lr at the dark (unamplified) exposure, consistent
+        # with generate_noisy's ori branch: dark signal + dark-scale noise.
+        lr = hr + noise * rb if not ori else hr / rb + noise
         return lr, hr, ratio
 
     return synth
@@ -312,16 +314,18 @@ def make_eval_step(model, fast: bool = False):
             pred = unet_hybrid_forward(tparams, x, res=getattr(model, "res", False))
             return pred[:, :H, :W, :]
 
-        cache = {}
+        cache = {"params": None, "tp": None}
 
         def step(state: TrainState, lr_img):
-            # Key on the optimizer step count (id() can be reused after GC);
-            # params only change when the step advances.
-            key = int(state.step) if hasattr(state, "step") else id(state.params)
-            if key not in cache:
-                cache.clear()
-                cache[key] = transform(state.params)
-            return fast_step(cache[key], lr_img)
+            # Cache the transformed weights by param-tree identity. Holding
+            # the reference keeps `is` sound (no id reuse after GC), and a
+            # restored checkpoint is always a new tree — unlike the previous
+            # step-count key, which aliased two different checkpoints loaded
+            # at the same step.
+            if cache["params"] is not state.params:
+                cache["params"] = state.params
+                cache["tp"] = transform(state.params)
+            return fast_step(cache["tp"], lr_img)
 
         return step
 

@@ -278,3 +278,49 @@ def test_sharded_packed_step_matches_single_device():
     # the single-device reduce, so allow bf16-scale slack on the params.
     for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+def test_sharded_step_tolerates_metadata_leaves():
+    """make_sharded_train_step must not force P('data') onto replicated
+    metadata leaves (odd-collated [3,3] ccm, rank-0 scalars) — shard_batch
+    deliberately replicates those (regression: trace-time rank/divisibility
+    crash on real mix-dataset batches)."""
+    from pnnp_tpu.parallel import make_mesh, shard_batch
+    from pnnp_tpu.parallel.mesh import make_sharded_train_step
+    from pnnp_tpu.train import build_lr_schedule, make_train_step, make_raw_synth
+
+    model = UNetSeeInDark(nf=4)
+    lr_schedule = build_lr_schedule(
+        {"lr_scheduler": "fixed", "learning_rate": 1e-3, "stop_epoch": 10,
+         "last_epoch": 0}
+    )
+    synth = make_raw_synth("SonyA7S2", "p", ori=False, clip=False)
+    base = make_train_step(model, lr_schedule, synth, clip_mode=2, donate=False)
+
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    step = make_sharded_train_step(mesh, base)
+    state = create_train_state(jax.random.key(0), model, jnp.zeros((1, 16, 16, 4)))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    hr = np.random.default_rng(0).uniform(0, 0.05, (8, 16, 16, 4)).astype(np.float32)
+    batch = shard_batch(mesh, {
+        "hr": hr,
+        "ccm": np.eye(3, dtype=np.float32),       # odd-collated metadata
+        "iso": np.float32(1600.0),                # rank-0 scalar
+    })
+    state, metrics = step(state, batch, jax.random.key(1), 1)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_spatial_eval_halo_zero():
+    """halo=0 runs shard-local eval (regression: '-0:' grabbed whole shards
+    and the de-halo slice emptied the output)."""
+    from pnnp_tpu.parallel import make_mesh
+    from pnnp_tpu.parallel.mesh import spatial_eval
+
+    mesh = make_mesh(n_data=1, n_spatial=8)
+    img = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (1, 8, 64, 4)).astype(np.float32))
+    out = spatial_eval(mesh, lambda t: t * 2.0, img, halo=0)
+    assert out.shape == img.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img) * 2.0, rtol=1e-6)
