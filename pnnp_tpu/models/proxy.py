@@ -107,11 +107,9 @@ class QuantileHead(nn.Module):
         k = jnp.clip(t.astype(jnp.int32), 0, d - 1)
         frac = t - k
 
-        def gather(kn, idx):
-            return kn[idx]
-
-        lo = jax.vmap(gather)(knots, k.reshape(k.shape[0], -1)).reshape(u.shape)
-        hi = jax.vmap(gather)(knots, (k + 1).reshape(k.shape[0], -1)).reshape(u.shape)
+        kf = k.reshape(k.shape[0], -1)
+        lo = jnp.take_along_axis(knots, kf, axis=-1).reshape(u.shape)
+        hi = jnp.take_along_axis(knots, kf + 1, axis=-1).reshape(u.shape)
         core = lo + frac * (hi - lo)
         if u_choice is None:
             return core
@@ -170,8 +168,15 @@ class PixelWiseISOProxy(nn.Module):
         return k[:, None]
 
     @nn.compact
-    def __call__(self, clean, iso, rng=None, mode: str = "sample"):
-        """mode='sample' -> noise draw; mode='loss' -> (nll, aux)."""
+    def __call__(self, clean, iso, rng=None, mode: str = "sample",
+                 weight=None):
+        """mode='sample' -> noise draw; mode='loss' -> (nll, aux).
+
+        ``weight`` (loss mode): per-pixel 0/1 (or soft) mask — fit the NLL
+        only where it is set. The learned heads model signal-INDEPENDENT dark
+        noise (sample() re-adds exact Poisson shot), so residuals from paired
+        data must be masked to dark pixels; dark-frame data uses all-ones.
+        """
         pixel_head = QuantileHead(self.d, self.nf, self.nb, name="pixel_stage")
         row_head = (
             QuantileHead(self.d, self.nf, self.nb, name="row_stage")
@@ -188,7 +193,7 @@ class PixelWiseISOProxy(nn.Module):
             if rng is None:
                 rng = self.make_rng("sample")
             return self._sample(rng, clean, feat, hp_px, hp_row)
-        return self._loss(clean, iso, hp_px, hp_row)
+        return self._loss(clean, iso, hp_px, hp_row, weight)
 
     def _sample(self, rng, clean, feat, hp_px, hp_row):
         k_shot, k_px, k_pxc, k_row, k_rowc = jax.random.split(rng, 5)
@@ -211,20 +216,32 @@ class PixelWiseISOProxy(nn.Module):
             total = total + QuantileHead.quantile(hp_row, u_row, c_row)
         return total / span
 
-    def _loss(self, noise, iso, hp_px, hp_row):
+    def _loss(self, noise, iso, hp_px, hp_row, weight=None):
         """NLL of observed noise (ADU) decomposed into row + pixel components.
 
-        Row component is estimated as the per-(row, channel) mean; the pixel
-        head models the residual. Matches how the physics pipeline calibrates
-        sigR vs sigGs from dark frames.
+        Row component is estimated as the per-(row, channel) (weighted) mean;
+        the pixel head models the residual — matching how the physics
+        pipeline calibrates sigR vs sigGs from dark frames. In 1-stage mode
+        (no row head) the pixel head models the full noise: subtracting an
+        unmodeled row mean would silently delete the banding component.
         """
         span = self.wp - self.bl
         x = noise * span
-        row_mean = jnp.mean(x, axis=2, keepdims=True)
-        resid = x - row_mean
-        nll_px = -jnp.mean(QuantileHead.log_prob(hp_px, resid))
+        w = (jnp.ones_like(x) if weight is None
+             else jnp.broadcast_to(weight.astype(x.dtype), x.shape))
         if hp_row is not None:
-            nll_row = -jnp.mean(QuantileHead.log_prob(hp_row, row_mean))
+            wsum_row = jnp.maximum(jnp.sum(w, axis=2, keepdims=True), 1e-6)
+            row_mean = jnp.sum(x * w, axis=2, keepdims=True) / wsum_row
+            resid = x - row_mean
+        else:
+            row_mean = None
+            resid = x
+        lp_px = QuantileHead.log_prob(hp_px, resid)
+        nll_px = -jnp.sum(lp_px * w) / jnp.maximum(jnp.sum(w), 1e-6)
+        if hp_row is not None:
+            lp_row = QuantileHead.log_prob(hp_row, row_mean)
+            w_rows = jnp.mean(w, axis=2, keepdims=True)
+            nll_row = -jnp.sum(lp_row * w_rows) / jnp.maximum(jnp.sum(w_rows), 1e-6)
         else:
             nll_row = 0.0
         # Weight the row term by its dimensionality share (one draw per

@@ -59,13 +59,25 @@ def make_nf_train_step(nf: NoiseFlow, lr_schedule):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_proxy_train_step(proxy: PixelWiseISOProxy, lr_schedule):
-    """Train the pw_iso_2stage proxy by NLL on real noise residuals."""
+def make_proxy_train_step(proxy: PixelWiseISOProxy, lr_schedule,
+                          dark_thresh: float = 2.0):
+    """Train the pw_iso_2stage proxy by NLL on real noise residuals.
+
+    The proxy's learned heads model signal-INDEPENDENT dark noise — its
+    sample() re-adds exact Poisson shot on the clean signal — so on paired
+    data the NLL is masked to pixels whose clean signal is below
+    ``dark_thresh`` ADU (otherwise the pixel head would absorb the shot
+    component and sampling would double-count it). Dark-frame batches
+    (clean ~= 0) get an all-ones mask, i.e. the paper's dark-frame recipe.
+    """
+    span = proxy.wp - proxy.bl
 
     def loss_fn(params, lr_img, hr_img, ratio, iso):
         rb = ratio.reshape(-1, 1, 1, 1)
         noise = (lr_img - hr_img) / rb
-        nll, aux = proxy.apply({"params": params}, noise, iso, mode="loss")
+        weight = (hr_img / rb * span < dark_thresh).astype(jnp.float32)
+        nll, aux = proxy.apply({"params": params}, noise, iso, mode="loss",
+                               weight=weight)
         return nll, aux
 
     def step(state: TrainState, lr_img, hr_img, ratio, iso, epoch):
@@ -103,6 +115,7 @@ class NFTrainer:
         if model_kind == "proxy" or "pw_iso" in arch.get("name", ""):
             self.kind = "proxy"
             self.model = PixelWiseISOProxy(
+                iso2k=tuple(arch.get("ISO2K", (0.0009546, -0.00193))),
                 nf=int(arch.get("nf", 16)), nb=int(arch.get("nb", 2)),
                 d=int(arch.get("d", 1024)), mode=arch.get("mode", "2stage+iso"),
                 wp=float(self.dst.get("wp", 16383)), bl=float(self.dst.get("bl", 512)),
@@ -133,7 +146,9 @@ class NFTrainer:
         )
         self.lr_schedule = build_lr_schedule(self.hyper)
         self.train_step = (
-            make_proxy_train_step(self.model, self.lr_schedule)
+            make_proxy_train_step(
+                self.model, self.lr_schedule,
+                dark_thresh=float(self.hyper.get("dark_thresh", 2.0)))
             if self.kind == "proxy"
             else make_nf_train_step(self.model, self.lr_schedule)
         )
@@ -173,6 +188,16 @@ class NFTrainer:
 
     def train(self):
         assert self.dataset_train is not None
+        # Noise-model training needs REAL residuals: the Syn/Proxy loaders
+        # emit lr == hr (their noise is synthesized downstream), so (lr-hr)
+        # would be identically zero and the NLL degenerate.
+        ds_name = self.args.get("dst_train", {}).get("dataset", "")
+        if ds_name in ("NF_Syn_Dataset", "Proxy_Dataset",
+                       "IMX686_NF_Syn_Dataset", "IMX686_Proxy_Dataset"):
+            raise RuntimeError(
+                f"dst_train dataset {ds_name} yields lr == hr; point it at a "
+                "paired dataset (SID_Dataset / IMX686_Dataset) or a "
+                "bias-frame dataset for noise-model training")
         loader = DataLoader(
             self.dataset_train, batch_size=int(self.hyper.get("batch_size", 1)),
             num_workers=int(self.args.get("num_workers", 2)), seed=self.seed,
@@ -191,7 +216,13 @@ class NFTrainer:
                 lr_img = jnp.asarray(batch["lr"])
                 hr_img = jnp.asarray(batch["hr"])
                 ratio = jnp.asarray(batch["ratio"]).reshape(-1)
-                iso = jnp.asarray(batch["iso"]).reshape(-1)
+                if "iso" in batch:
+                    iso = jnp.asarray(batch["iso"]).reshape(-1)
+                else:  # datasets without per-item ISO: the dst block's value
+                    default_iso = float(self.dst.get("iso") or (
+                        6400.0 if "IMX686" in str(self.dst.get("camera_type"))
+                        else 1600.0))
+                    iso = jnp.full((ratio.shape[0],), default_iso)
                 self.state, m = self.train_step(self.state, lr_img, hr_img, ratio, iso, epoch)
                 self.nll_meter.update(float(m["nll"]))
                 last_batch = (lr_img, hr_img, ratio, iso)
