@@ -62,12 +62,7 @@ def kl_div_3_data(p_data, q_data, bin_edges=None, left_edge=0.0, right_edge=1.0,
         bin_edges = np.arange(left_edge, right_edge + width, width)
     p, _ = get_histogram(p_data, bin_edges, left_edge, right_edge, n_bins)
     q, _ = get_histogram(q_data, bin_edges, left_edge, right_edge, n_bins)
-    idx = (p > 0) & (q > 0)
-    p, q = p[idx], q[idx]
-    logp, logq = np.log(p), np.log(q)
-    f = np.sum(p * (logp - logq))
-    i = np.sum(q * (logq - logp))
-    return f, i, 0.5 * (f + i)
+    return kl_div_3(p, q)
 
 
 def kl_div_norm(p_data, q_data, bl=512, wp=16383):
@@ -80,7 +75,7 @@ def kl_div_norm(p_data, q_data, bl=512, wp=16383):
     p_data = np.asarray(p_data, np.float32).copy()
     q_data = np.asarray(q_data, np.float32).copy()
     if bl is None:
-        bl_eff, n_bins = 0, wp
+        n_bins = wp
         left, right = (
             min(p_data.min(), q_data.min()),
             max(p_data.max(), q_data.max()),
@@ -99,15 +94,13 @@ def kl_div_norm(p_data, q_data, bl=512, wp=16383):
     bin_edges = np.arange(left, right + width, width)
     y_p, _ = get_histogram(p_data, bin_edges, left, right, n_bins)
     y_q, _ = get_histogram(q_data, bin_edges, left, right, n_bins)
-    idx = (y_p > 0) & (y_q > 0)
-    p, q = y_p[idx], y_q[idx]
-    logp, logq = np.log(p), np.log(q)
-    kl_fwd = np.sum(p * (logp - logq))
-    kl_inv = np.sum(q * (logq - logp))
+    kl_fwd, kl_inv, kl_sym = kl_div_3(y_p, y_q)
+    # hist axes rescale by wp even in the bl=None branch (where edges are
+    # already in data units) — reference-exact quirk (kld_div.py:199).
     return {
         "kl_fwd": kl_fwd,
         "kl_inv": kl_inv,
-        "kl_sym": 0.5 * (kl_fwd + kl_inv),
+        "kl_sym": kl_sym,
         "hist_p": (y_p, bin_edges * wp - (bl or 0)),
         "hist_q": (y_q, bin_edges * wp - (bl or 0)),
     }
@@ -126,11 +119,13 @@ def kl_div_norm_device(p_data: jnp.ndarray, q_data: jnp.ndarray,
     def quantize(x):
         x = jnp.where(jnp.min(p_data) < 0, x + bl, x)
         x = jnp.round(x)
-        x = jnp.clip(x, 0, wp)
+        # host parity: np.histogram with wp bins over [0,1] merges the
+        # integers wp-1 and wp into the last bin
+        x = jnp.minimum(jnp.clip(x, 0, wp), wp - 1)
         return x.astype(jnp.int32)
 
-    hp = jnp.bincount(quantize(p_data).reshape(-1), length=wp + 1) / p_data.size
-    hq = jnp.bincount(quantize(q_data).reshape(-1), length=wp + 1) / q_data.size
+    hp = jnp.bincount(quantize(p_data).reshape(-1), length=wp) / p_data.size
+    hq = jnp.bincount(quantize(q_data).reshape(-1), length=wp) / q_data.size
     mask = (hp > 0) & (hq > 0)
     logp = jnp.log(jnp.where(mask, hp, 1.0))
     logq = jnp.log(jnp.where(mask, hq, 1.0))

@@ -151,3 +151,24 @@ def test_rgb_quality_matches_numpy_isp_oracle():
                        ccm=jnp.asarray(ccm))
     assert abs(float(p) - p_ref) < 5e-2, (float(p), p_ref)
     assert abs(float(s) - s_ref) < 1e-3, (float(s), s_ref)
+
+
+def test_kld_device_matches_host_at_saturation():
+    """Device bincount KLD must merge the integers wp-1 and wp into one bin
+    like np.histogram does on the host (regression: wp+1 bins made device
+    KLD differ from kl_div_norm exactly when mass sits at the clip ceiling)."""
+    import numpy as np
+    from pnnp_tpu.ops.kld import kl_div_norm, kl_div_norm_device
+
+    rng = np.random.default_rng(0)
+    wp, bl = 63, 8
+    # heavy mass at the ceiling: half the samples saturate
+    p = np.concatenate([rng.integers(0, wp + 1, 4000),
+                        np.full(4000, wp)]).astype(np.float32) - bl
+    q = np.concatenate([rng.integers(0, wp + 1, 6000),
+                        np.full(2000, wp)]).astype(np.float32) - bl
+    host = kl_div_norm(p.copy(), q.copy(), bl=bl, wp=wp)
+    dev = kl_div_norm_device(jnp.asarray(p), jnp.asarray(q), bl=bl, wp=wp)
+    for k in ("kl_fwd", "kl_inv", "kl_sym"):
+        np.testing.assert_allclose(float(dev[k]), float(host[k]), rtol=1e-5,
+                                   atol=1e-7)
