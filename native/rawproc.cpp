@@ -25,15 +25,6 @@ namespace {
 
 constexpr int kHalfClip = 2;  // reference: data_process/process.py:19
 
-struct PackParams {
-  float wp;
-  float bl;
-  const float* bias;  // per-RGBG-channel black-level delta, nullable
-  int clip_mode;      // 0: none, 1: [0,1], 2: half-clip (lr: (-inf,1])
-  float ratio_mul;    // post-normalize gain (exposure ratio), 1.0 = none
-  bool clip_hi_only;  // half-clip semantics for lr images
-};
-
 inline float normalize_px(float v, float bl_c, float inv_span) {
   return (v - bl_c) * inv_span;
 }

@@ -17,6 +17,7 @@ Info-file format is the reference's pickled list-of-dicts
 from __future__ import annotations
 
 import os
+import threading
 from typing import Optional, Sequence
 
 import numpy as np
@@ -53,12 +54,28 @@ class BaseRawDataset:
         if args:
             self.args.update(args)
         self.command = command_of(self.args)
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._rng_main = np.random.default_rng(seed)
+        self._rng_tls = threading.local()
         self.H, self.W = int(self.args["H"]), int(self.args["W"])
         self.h, self.w, self.c = self.H // 2, self.W // 2, 4
         self.darkshading = None
         self.infos = []
         self.length = 0
+
+    @property
+    def rng(self) -> np.random.Generator:
+        """Thread-local RNG: worker threads each get an independent,
+        deterministically-seeded generator (numpy Generators are not
+        thread-safe to share); the main thread keeps the init-seeded one."""
+        return getattr(self._rng_tls, "gen", self._rng_main)
+
+    def reseed_worker(self, seed: int, epoch: int, worker: int):
+        """Per-(epoch, worker) deterministic reseed — the worker_init_fn
+        analog (reference: base_trainer.py:20-25); called by DataLoader
+        from each worker thread."""
+        self._rng_tls.gen = np.random.default_rng(
+            np.random.SeedSequence([seed, epoch, worker]))
 
     # -- info loading ------------------------------------------------------
     def load_infos(self, name: str):
@@ -524,6 +541,11 @@ class MultiDataset:
                 return d[idx]
             idx -= n
         raise IndexError
+
+    def reseed_worker(self, seed: int, epoch: int, worker: int):
+        for d in self.datasets:
+            if hasattr(d, "reseed_worker"):
+                d.reseed_worker(seed, epoch, worker)
 
 
 def _phone_registry():

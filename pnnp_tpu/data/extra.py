@@ -71,3 +71,8 @@ class MixedSubsetDataset:
             return self.base[idx]
         j = (idx - self.l1) * self.extra_rate % max(self.l2, 1)
         return self.extra[j]
+
+    def reseed_worker(self, seed: int, epoch: int, worker: int):
+        for d in (self.base, self.extra):
+            if hasattr(d, "reseed_worker"):
+                d.reseed_worker(seed, epoch, worker)

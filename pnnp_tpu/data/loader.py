@@ -4,14 +4,16 @@ Replaces torch DataLoader workers (reference: base_trainer.py:20-25,
 trainer_SID.py:49): worker threads run dataset __getitem__ (NumPy, GIL
 released in BLAS/IO), a bounded queue smooths latency, and batches are
 stacked contiguous so device_put is a single transfer. Seed discipline
-mirrors the reference's worker_init_fn: each epoch reseeds deterministically
-from (base_seed, epoch).
+mirrors the reference's worker_init_fn: each worker reseeds its thread-local
+dataset RNG deterministically from (base_seed, epoch, worker); batches are
+assigned to workers round-robin, so multi-worker epochs are reproducible
+regardless of thread scheduling.
 """
 
 from __future__ import annotations
 
-import queue
 import threading
+import time
 from typing import Iterator
 
 import numpy as np
@@ -69,33 +71,43 @@ class DataLoader:
     def __iter__(self) -> Iterator[dict]:
         batches = self._index_batches()
         if self.num_workers == 0:
+            if hasattr(self.dataset, "reseed_worker"):
+                self.dataset.reseed_worker(self.seed, self.epoch, 0)
             for b in batches:
                 yield collate([self.dataset[int(i)] for i in b])
             return
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        task_q: queue.Queue = queue.Queue()
+        # Static round-robin assignment (worker w takes batches w, w+nw, ...)
+        # + per-(epoch, worker) RNG reseed makes multi-worker epochs
+        # deterministic regardless of thread scheduling — the analog of
+        # torch's worker_init_fn (reference: base_trainer.py:20-25). The
+        # semaphore bounds in-flight batches to `prefetch` (real
+        # backpressure; results stay an ordered dict for in-order yield).
         results: dict = {}
         lock = threading.Lock()
         stop = threading.Event()
+        sem = threading.Semaphore(self.prefetch)
 
-        for bi, b in enumerate(batches):
-            task_q.put((bi, b))
-
-        def worker():
-            while not stop.is_set():
-                try:
-                    bi, b = task_q.get_nowait()
-                except queue.Empty:
+        def worker(w: int):
+            if hasattr(self.dataset, "reseed_worker"):
+                self.dataset.reseed_worker(self.seed, self.epoch, w)
+            for bi in range(w, len(batches), self.num_workers):
+                sem.acquire()
+                if stop.is_set():
                     return
                 try:
-                    batch = collate([self.dataset[int(i)] for i in b])
-                except Exception as e:  # surface in consumer
+                    batch = collate([self.dataset[int(i)] for i in batches[bi]])
+                except BaseException as e:  # surface in consumer
                     batch = e
                 with lock:
                     results[bi] = batch
+                if isinstance(batch, BaseException):
+                    return
 
-        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
         for t in threads:
             t.start()
         try:
@@ -105,9 +117,16 @@ class DataLoader:
                         if bi in results:
                             batch = results.pop(bi)
                             break
-                    threading.Event().wait(0.002)
-                if isinstance(batch, Exception):
+                        dead = not any(t.is_alive() for t in threads)
+                    if dead:
+                        raise RuntimeError(
+                            "DataLoader worker died without delivering its batch")
+                    time.sleep(0.002)
+                if isinstance(batch, BaseException):
                     raise batch
+                sem.release()
                 yield batch
         finally:
             stop.set()
+            for _ in threads:
+                sem.release()  # unblock workers parked on acquire

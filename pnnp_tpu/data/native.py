@@ -54,10 +54,20 @@ def available() -> bool:
     return load_library() is not None
 
 
+def _require_lib():
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError(
+            "native rawproc library unavailable (build it with `make -C "
+            "native`); callers should check native.available() and fall "
+            "back to the NumPy path (data.io.pack_raw_np)")
+    return lib
+
+
 def pack_full(raw: np.ndarray, wp: float, bl: float, darkshading=None,
               bias=None, clip: bool = False) -> np.ndarray:
     """Native twin of data.io.pack_raw_np (normalize always on)."""
-    lib = load_library()
+    lib = _require_lib()
     raw = np.ascontiguousarray(raw, np.float32)
     H, W = raw.shape
     out = np.empty((H // 2, W // 2, 4), np.float32)
@@ -76,13 +86,20 @@ def pack_crops(raw: np.ndarray, wp: float, bl: float,
                darkshading=None, bias=None, clip_mode: int = 0,
                ratio_mul: float = 0.0) -> np.ndarray:
     """Fused correct+pack+crop+aug: mosaic [H, W] -> [n, p, p, 4]."""
-    lib = load_library()
+    lib = _require_lib()
     raw = np.ascontiguousarray(raw, np.float32)
     H, W = raw.shape
     hs = np.ascontiguousarray(hs, np.int32)
     ws = np.ascontiguousarray(ws, np.int32)
     aug = np.ascontiguousarray(aug, np.int32)
     n = len(hs)
+    # bounds check at the ctypes boundary: the C worker reads raw[2*(h0+p)...]
+    # unchecked, so out-of-range crop plans would read past the buffer
+    if n and (hs.min() < 0 or ws.min() < 0
+              or hs.max() + patch > H // 2 or ws.max() + patch > W // 2):
+        raise ValueError(
+            f"crop plan out of bounds for mosaic {H}x{W} (packed "
+            f"{H // 2}x{W // 2}, patch {patch})")
     out = np.empty((n, patch, patch, 4), np.float32)
     ds = None if darkshading is None else np.ascontiguousarray(darkshading, np.float32)
     b = None if bias is None else np.ascontiguousarray(bias, np.float32)
@@ -100,7 +117,7 @@ def pack_s2d(raw: np.ndarray, wp: float, bl: float, darkshading=None,
              bias=None, clip: bool = False) -> np.ndarray:
     """Fused pack straight into the TPU fast path's 4x4-superpixel layout:
     mosaic [H, W] -> [H/4, W/4, 16] (== s2d of the RGBG packing)."""
-    lib = load_library()
+    lib = _require_lib()
     raw = np.ascontiguousarray(raw, np.float32)
     H, W = raw.shape
     out = np.empty((H // 4, W // 4, 16), np.float32)

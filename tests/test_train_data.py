@@ -210,3 +210,44 @@ def test_dryrun_multichip_8dev():
 
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
     ge.dryrun_multichip(8)
+
+
+def test_loader_multiworker_deterministic(tmp_path):
+    """Static round-robin worker assignment + per-(epoch, worker) RNG reseed:
+    two runs over the same epoch yield identical batches (the reference's
+    worker_init_fn contract), and a different epoch differs."""
+    make_sid_fixture(tmp_path, n_scenes=3, H=32, W=48)
+    args = dict(dataset="SID_Dataset", mode="train", patch_size=8,
+                crop_per_image=2, H=32, W=48, croptype="random_crop",
+                infos_dir=str(tmp_path / "infos"))
+
+    def run(epoch):
+        ds = SIDDataset(args, seed=3)
+        loader = DataLoader(ds, batch_size=2, num_workers=2, seed=7)
+        loader.set_epoch(epoch)
+        return [b["lr"].copy() for b in loader]
+
+    a, b = run(1), run(1)
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    c = run(2)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+
+def test_loader_worker_exception_propagates(tmp_path):
+    """An exception inside __getitem__ surfaces in the consumer instead of
+    hanging the poll loop."""
+    class Boom:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("bad item")
+            return {"hr": np.zeros((1, 4, 4, 4), np.float32)}
+
+    loader = DataLoader(Boom(), batch_size=2, num_workers=2, shuffle=False)
+    with np.testing.assert_raises(ValueError):
+        for _ in loader:
+            pass
