@@ -32,11 +32,15 @@ def iso_cam_onehot(iso, cam):
 
 
 def iso_cam_index(iso, cam):
-    """Flat 25-way index iso*5 + cam (reference: conv2d1x1.py:169-175)."""
+    """Flat 25-way index iso*5 + cam (reference: conv2d1x1.py:169-175).
+
+    Nearest-value match: exact ladder hits behave like the reference's
+    equality lookup, while off-table values pick the nearest entry instead
+    of silently indexing 0 (argmax of an all-False mask)."""
     iso_mean = jnp.mean(iso)
     cam_mean = jnp.round(jnp.mean(cam) * 10) / 10
-    i = jnp.argmax(ISO_VALS == iso_mean)
-    c = jnp.argmax(CAM_VALS == cam_mean)
+    i = jnp.argmin(jnp.abs(ISO_VALS - iso_mean))
+    c = jnp.argmin(jnp.abs(CAM_VALS - cam_mean))
     return i * 5 + c
 
 

@@ -4,8 +4,8 @@ Re-design of the reference layer (reference: archs/flow_layers/conv2d1x1.py:
 19-92): weight ``W = P @ L @ U`` with fixed permutation ``P`` and sign(s),
 learnable strictly-lower ``L``, strictly-upper ``U`` and ``log|s|``. The
 log-det is ``sum(log|s|) * H * W`` — read off the parameterization, no slogdet
-— and the inverse solves triangular systems on-device instead of the
-reference's CPU float64 dense inversion round-trip.
+— and the inverse recomposes W and inverts it on-device (f32) instead of
+the reference's CPU float64 round-trip.
 """
 
 from __future__ import annotations

@@ -17,14 +17,18 @@ from pnnp_tpu.physics.calibration import LEGAL_ISO
 
 
 def _interp_iso(legal_iso: jnp.ndarray, cam_param: jnp.ndarray, iso: jnp.ndarray):
-    """exp-interpolate rows of ``cam_param`` at ``iso`` between ladder entries.
+    """exp(cam_param) rows at ``iso`` via the reference's searchsorted pick.
 
-    ``iso`` scalar or [n]; returns exp(cam_param) rows interpolated, shape
-    ``iso.shape + cam_param.shape[1:]``.
+    ``iso`` scalar or [n]; returns shape ``iso.shape + cam_param.shape[1:]``.
+    NOTE reference-exact semantics (gain.py:79-86): the reference's
+    "interpolation" formula collapses — off-ladder ISOs snap to the
+    nearest-ABOVE ladder entry and exact hits return their own row; true
+    linear interpolation never happens. Kept bit-compatible here.
     """
     iso = jnp.asarray(iso, jnp.float32)
-    l = jnp.clip(jnp.searchsorted(legal_iso, iso, side="left"), 0, len(LEGAL_ISO) - 1)
-    r = jnp.clip(jnp.searchsorted(legal_iso, iso, side="right"), 0, len(LEGAL_ISO) - 1)
+    hi = len(legal_iso) - 1
+    l = jnp.clip(jnp.searchsorted(legal_iso, iso, side="left"), 0, hi)
+    r = jnp.clip(jnp.searchsorted(legal_iso, iso, side="right"), 0, hi)
     iso_l, iso_r = legal_iso[l], legal_iso[r]
     cp_l = jnp.exp(cam_param[l])
     cp_r = jnp.exp(cam_param[r])

@@ -38,6 +38,9 @@ class NoiseFlow(nn.Module):
             if lyr == "unc":
                 if self.flow_permutation == 1:
                     layers.append(InvertibleConv1x1(num_channels=c, name=f"conv1x1_{i}"))
+                # any other flow_permutation value means "no permutation
+                # layer", matching the reference's fall-through
+                # (noise_flow.py:53-66 prints and continues)
                 layers.append(AffineCoupling(num_channels=c, name=f"unc_{i}"))
             elif lyr == "sdn":
                 layers.append(SignalDependantISO(name=f"sdn_{i}"))
