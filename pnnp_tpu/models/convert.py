@@ -39,24 +39,64 @@ def torch_state_to_flax(
     unwrap (trainer_SID.py:133). Submodule paths with dots nest naturally
     (``conv1.conv1.weight`` -> conv1/conv1/kernel for residual blocks).
     """
+    params, stats = _torch_state_to_flax_full(state_dict, transpose_names)
+    if stats:
+        warnings.warn("checkpoint carries BatchNorm running stats; use "
+                      "torch_state_to_flax_full to restore batch_stats")
+    return params
+
+
+def torch_state_to_flax_full(
+    state_dict: Mapping[str, Any],
+    transpose_names: tuple[str, ...] = ("upv", "up", "deconv"),
+) -> tuple[dict, dict]:
+    """Like :func:`torch_state_to_flax` but also returns the ``batch_stats``
+    collection (BatchNorm running mean/var)."""
+    return _torch_state_to_flax_full(state_dict, transpose_names)
+
+
+def _torch_state_to_flax_full(state_dict, transpose_names):
     params: dict = {}
+    stats: dict = {}
     for key, val in state_dict.items():
         arr = np.asarray(val.detach().cpu().numpy() if hasattr(val, "detach") else val)
         if key.startswith("module."):
             key = key[len("module."):]
         *path, leaf = key.split(".")
-        leaf_name = {"weight": "kernel", "bias": "bias"}[leaf]
-        if leaf == "weight" and arr.ndim == 4:
-            is_transpose = any(t in path[-1] for t in transpose_names)
-            if is_transpose:
+        if leaf == "num_batches_tracked":
+            continue
+        if leaf == "running_mean":
+            _set_nested(stats, path + ["mean"], arr)
+            continue
+        if leaf == "running_var":
+            _set_nested(stats, path + ["var"], arr)
+            continue
+        if leaf == "bias":
+            _set_nested(params, path + ["bias"], arr)
+            continue
+        if leaf != "weight":
+            warnings.warn(f"skipping unrecognized state_dict leaf {key}")
+            continue
+        if arr.ndim == 4:
+            # prefix match on the module name: substring matching would
+            # catch unrelated modules that merely contain 'up'
+            if any(path[-1].startswith(t) for t in transpose_names):
                 # torch ConvTranspose2d applies the kernel unflipped; flax
                 # ConvTranspose (lax.conv_transpose) applies it spatially
                 # flipped — so flip kh/kw in the mapping.
                 arr = arr.transpose(2, 3, 0, 1)[::-1, ::-1]  # [I,O,kh,kw] -> [kh,kw,I,O]
             else:
                 arr = arr.transpose(2, 3, 1, 0)  # [O,I,kh,kw] -> [kh,kw,I,O]
-        _set_nested(params, path + [leaf_name], arr)
-    return params
+            _set_nested(params, path + ["kernel"], arr)
+        elif arr.ndim == 2:
+            # torch Linear [out, in] -> flax Dense kernel [in, out]
+            _set_nested(params, path + ["kernel"], arr.T)
+        elif arr.ndim == 1:
+            # norm-layer weight -> flax 'scale'
+            _set_nested(params, path + ["scale"], arr)
+        else:
+            _set_nested(params, path + ["kernel"], arr)
+    return params, stats
 
 
 def flax_to_torch_state(params: Mapping[str, Any],
@@ -65,7 +105,9 @@ def flax_to_torch_state(params: Mapping[str, Any],
     out: dict = {}
 
     def walk(node, path):
-        if isinstance(node, Mapping) and "kernel" not in node and "bias" not in node:
+        if isinstance(node, Mapping) and not (
+            {"kernel", "bias", "scale"} & set(node.keys())
+        ):
             for k, v in node.items():
                 walk(v, path + [k])
             return
@@ -73,11 +115,15 @@ def flax_to_torch_state(params: Mapping[str, Any],
         if "kernel" in node:
             arr = np.asarray(node["kernel"])
             if arr.ndim == 4:
-                if any(t in path[-1] for t in transpose_names):
+                if any(path[-1].startswith(t) for t in transpose_names):
                     arr = arr[::-1, ::-1].transpose(2, 3, 0, 1)  # undo the flip
                 else:
                     arr = arr.transpose(3, 2, 0, 1)
+            elif arr.ndim == 2:
+                arr = arr.T  # flax Dense [in, out] -> torch Linear [out, in]
             out[name + ".weight"] = arr
+        if "scale" in node:  # norm-layer weight
+            out[name + ".weight"] = np.asarray(node["scale"])
         if "bias" in node:
             out[name + ".bias"] = np.asarray(node["bias"])
 

@@ -81,9 +81,14 @@ def load_any(path: str) -> dict:
         import torch
 
         state = torch.load(path, map_location="cpu")
+        if isinstance(state, dict) and "netG" in state:  # ELD container
+            state = state["netG"]
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
-        return {"params": torch_state_to_flax(state), "batch_stats": None, "meta": {}}
+        from pnnp_tpu.models.convert import torch_state_to_flax_full
+
+        params, stats = torch_state_to_flax_full(state)
+        return {"params": params, "batch_stats": stats or None, "meta": {}}
     return load_checkpoint(path)
 
 
@@ -124,6 +129,16 @@ class CheckpointManager:
         order = [self.best_path(), self.last_path()]
         if prefer == "last":
             order.reverse()
+        # Recover the best-PSNR watermark from the best checkpoint's meta so
+        # a resumed run's first (possibly worse) eval cannot clobber it.
+        if os.path.exists(self.best_path()):
+            try:
+                bmeta = load_checkpoint(self.best_path()).get("meta", {})
+                if bmeta.get("eval_psnr") is not None:
+                    self.best_psnr = max(self.best_psnr,
+                                         float(bmeta["eval_psnr"]))
+            except Exception:
+                pass
         for p in order:
             if os.path.exists(p):
                 try:

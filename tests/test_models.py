@@ -192,3 +192,60 @@ def test_eld_checkpoint_format(tmp_path, small_unet):
     loaded = eld_checkpoint_to_flax(pth)
     for a, b in zip(jax.tree.leaves(params["params"]), jax.tree.leaves(loaded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_convert_linear_bn_and_roundtrip():
+    """Linear weights transpose ([out,in] -> [in,out]), BatchNorm maps to
+    scale/bias + batch_stats, and the flax->torch export restores both
+    (regression: BN keys crashed, Linear landed transposed, scale dropped)."""
+    import numpy as np
+    from pnnp_tpu.models.convert import (
+        flax_to_torch_state, torch_state_to_flax_full)
+
+    rng = np.random.default_rng(0)
+    sd = {
+        "fc.weight": rng.standard_normal((6, 3)).astype(np.float32),
+        "fc.bias": rng.standard_normal(6).astype(np.float32),
+        "bn.weight": rng.standard_normal(4).astype(np.float32),
+        "bn.bias": rng.standard_normal(4).astype(np.float32),
+        "bn.running_mean": rng.standard_normal(4).astype(np.float32),
+        "bn.running_var": rng.random(4).astype(np.float32),
+        "bn.num_batches_tracked": np.asarray(7),
+        "conv.weight": rng.standard_normal((5, 3, 3, 3)).astype(np.float32),
+        "conv.bias": rng.standard_normal(5).astype(np.float32),
+    }
+    params, stats = torch_state_to_flax_full(sd)
+    assert params["fc"]["kernel"].shape == (3, 6)
+    np.testing.assert_array_equal(params["fc"]["kernel"], sd["fc.weight"].T)
+    np.testing.assert_array_equal(params["bn"]["scale"], sd["bn.weight"])
+    np.testing.assert_array_equal(stats["bn"]["mean"], sd["bn.running_mean"])
+    np.testing.assert_array_equal(stats["bn"]["var"], sd["bn.running_var"])
+    assert params["conv"]["kernel"].shape == (3, 3, 3, 5)
+
+    back = flax_to_torch_state(params)
+    for k in ("fc.weight", "fc.bias", "bn.weight", "bn.bias",
+              "conv.weight", "conv.bias"):
+        np.testing.assert_allclose(back[k], sd[k], rtol=1e-6)
+
+
+def test_checkpoint_best_psnr_survives_resume(tmp_path):
+    """restore() recovers the best-PSNR watermark from the best checkpoint's
+    meta, so a resumed run's first (worse) eval can't clobber the best
+    weights (regression: best_psnr reset to -inf on every restart)."""
+    import numpy as np
+    from pnnp_tpu.train.checkpoint import CheckpointManager
+
+    params_best = {"w": np.full(3, 1.0, np.float32)}
+    params_worse = {"w": np.full(3, 2.0, np.float32)}
+    m1 = CheckpointManager(str(tmp_path / "fast"), str(tmp_path / "slow"), "M")
+    assert m1.save(1, params_best, None, eval_psnr=35.0)
+
+    m2 = CheckpointManager(str(tmp_path / "fast"), str(tmp_path / "slow"), "M")
+    m2.restore("last")
+    assert m2.best_psnr == 35.0
+    assert not m2.save(2, params_worse, None, eval_psnr=30.0)
+    import pickle
+
+    with open(m2.best_path(), "rb") as f:
+        best = pickle.load(f)
+    np.testing.assert_array_equal(best["params"]["w"], params_best["w"])
