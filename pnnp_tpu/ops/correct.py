@@ -17,7 +17,10 @@ def _correct_one(predict: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
     w = (source != 1.0).astype(predict.dtype)
     num = jnp.sum(predict * source * w)
     den = jnp.sum(predict * predict * w)
-    return num / den * predict
+    # degenerate fits (fully saturated source, or an all-zero clipped
+    # prediction) leave the image unscaled instead of NaN-poisoning eval
+    scale = jnp.where(den > 0, num / jnp.maximum(den, 1e-20), 1.0)
+    return scale * predict
 
 
 def illuminance_correct(predict: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
@@ -28,6 +31,13 @@ def illuminance_correct(predict: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarra
     """
     if predict.ndim == source.ndim == 3:
         return _correct_one(predict, source)
+    if predict.ndim > 4:  # fold extra leading dims so the fit is per image
+        lead = predict.shape[:-3]
+        out = illuminance_correct(
+            predict.reshape((-1,) + predict.shape[-3:]),
+            jnp.broadcast_to(source, predict.shape).reshape(
+                (-1,) + predict.shape[-3:]))
+        return out.reshape(lead + predict.shape[-3:])
     if source.shape[0] == 1 and predict.shape[0] != 1:
         source = jnp.broadcast_to(source, predict.shape)
     return jax.vmap(_correct_one)(predict, source)

@@ -38,7 +38,8 @@ def apply_ccms(images: jnp.ndarray, ccms: jnp.ndarray) -> jnp.ndarray:
     (reference: data_process/process.py:112-121; `sum(img * ccm, -1)` ==
     matmul with the matrix's rows, i.e. ``img @ ccm.T``.)
     """
-    return jnp.einsum("nhwc,nkc->nhwk", images, ccms)
+    return jnp.einsum("nhwc,nkc->nhwk", images, ccms,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def gamma_compression(images: jnp.ndarray, gamma: float = 2.2) -> jnp.ndarray:
@@ -86,7 +87,9 @@ def simple_isp(
 ) -> jnp.ndarray:
     """Half-resolution preview ISP over cell-order RGGB ``[..., h, w, 4]``.
 
-    (reference: utils/isp_ops.py:125-132)
+    NOTE ``wb`` is CELL-order RGGB (blue at index 3, like the reference's
+    SimpleISP default [2,1,1,2] — isp_ops.py:125-132); everything else in
+    this repo (fast_isp, dataset info 'wb') uses RGBG with blue at index 2.
     """
     x = (rggb.astype(jnp.float32) - bl) / (wp - bl)
     x = x * jnp.asarray(wb, jnp.float32)
@@ -115,12 +118,15 @@ def bilinear_demosaic(bayer: jnp.ndarray) -> jnp.ndarray:
     k_rb = jnp.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], jnp.float32) / 4.0
 
     def conv(img, k):
+        # full precision: the output is floor-quantized to uint8 by the RGB
+        # metrics, where TPU bf16-default conv error straddles bin edges
         return jax.lax.conv_general_dilated(
             img,
             k[:, :, None, None],
             window_strides=(1, 1),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     # Interpolate each sparse plane, normalizing by the convolved sample mask so
@@ -152,5 +158,6 @@ def fast_isp(
     mosaic = unpack_bayer(jnp.clip(img4c * gains, 0.0, 1.0))
     img = bilinear_demosaic(mosaic)
     ccm = SONY_CCM if ccm is None else jnp.asarray(ccm, jnp.float32)
-    img = jnp.einsum("...hwc,kc->...hwk", img, ccm)
+    img = jnp.einsum("...hwc,kc->...hwk", img, ccm,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.clip(img, 0.0, 1.0) ** (1.0 / gamma)
