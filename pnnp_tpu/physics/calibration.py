@@ -148,7 +148,3 @@ def iso_index(camera_type: str, iso) -> int:
     if len(idx) == 0:
         raise KeyError(f"ISO {iso} not calibrated for {camera_type}")
     return int(idx[0])
-
-
-def has_specific_iso(camera_type: str, iso) -> bool:
-    return camera_type in ISO_TABLES and float(iso) in ISO_TABLES[camera_type]["iso"]

@@ -67,9 +67,7 @@ class HighBitRecovery:
         return dict(
             param=p,
             low=low,
-            high=high,
             bias=np.float32(bias),
-            sigma=np.float32(sigma),
             use_tl=use_tl,
             lam=np.float32(p["lam"]),
             scale=np.float32(sigma),

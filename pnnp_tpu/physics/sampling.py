@@ -22,10 +22,6 @@ import numpy as np
 from pnnp_tpu.physics import calibration as calib
 
 
-def _bcast(table: dict, keys, n: int) -> dict:
-    return {k: jnp.broadcast_to(jnp.asarray(table[k], jnp.float32), (n,)) for k in keys}
-
-
 def _regression_consts(camera_type: str) -> dict:
     p = calib.CAMERA_REGRESSION[camera_type]
     return {k: np.float32(v) for k, v in p.items()}
@@ -50,9 +46,14 @@ def sample_params_max(
     """
     ks = jax.random.split(key, 8)
 
-    if iso is not None and camera_type in calib.ISO_TABLES:
+    if iso is not None and camera_type not in calib.ISO_TABLES:
+        raise ValueError(
+            f"explicit iso given but {camera_type!r} has no per-ISO "
+            "calibration table; only regression sampling (iso=None) exists "
+            "for this camera")
+    if iso is not None:
         table = calib.ISO_TABLES[camera_type]
-        if isinstance(iso, (int, float, str)):
+        if isinstance(iso, (int, float, str, np.integer, np.floating)):
             idx = jnp.full((n,), calib.iso_index(camera_type, iso), jnp.int32)
         else:
             idx = jnp.asarray(iso, jnp.int32)

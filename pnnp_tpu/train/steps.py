@@ -144,8 +144,14 @@ def make_mix_synth(camera_type: str, command: str = "augv5", ori: bool = False,
         )
         aug_wb = aug_wb + black[:, None]
         if hbr_map is not None:
+            # The HBR LUT addresses UNAMPLIFIED ADU bins (the reference
+            # remaps raw bias crops before the preprocess multiplies by
+            # dgain, phone_datasets.py:631 then trainer_LRID.py:378). When
+            # the loader host-amplified lr, unamplify around the remap.
             mask = black.reshape(-1, 1, 1, 1)
-            lr = jnp.where(mask > 0, hbr_map(k3, lr), lr)
+            rb = ratio.reshape(-1, 1, 1, 1)
+            amp = rb if (host_amplified and not ori) else 1.0
+            lr = jnp.where(mask > 0, hbr_map(k3, lr / amp) * amp, lr)
         lr = lr if (ori or host_amplified) else lr * ratio.reshape(-1, 1, 1, 1)
         dn, dy = sna(k2, hr, aug_wb, camera_type=camera_type, ratio=ratio,
                      iso=batch.get("iso"), black_lr=black, ori=ori)

@@ -155,7 +155,7 @@ def test_hbr_recovers_continuous_distribution():
     hbr = HighBitRecovery(camera_type="IMX686", noise_code="pq", perturb=False)
     hbr.get_lut([6400])
     lut = hbr.lut[6400]
-    sig = float(lut["sigma"])
+    sig = float(lut["scale"])
     rng = np.random.default_rng(0)
     # Quantized gaussian read noise (integer ADU), as from a real bias frame.
     raw = np.round(rng.normal(0, sig, (256, 256))).astype(np.float32)

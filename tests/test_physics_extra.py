@@ -92,7 +92,7 @@ def test_hbr_tukey_mode():
     lut = hbr.lut[6400]
     assert lut["use_tl"]
     rng = np.random.default_rng(1)
-    lam, sig = float(lut["lam"]), float(lut["sigma"])
+    lam, sig = float(lut["lam"]), float(lut["scale"])
     raw = np.round(stats.tukeylambda.rvs(lam, scale=sig, size=(128, 128),
                                          random_state=rng)).astype(np.float32)
     span = float(lut["param"]["wp"]) - float(lut["param"]["bl"])
