@@ -59,7 +59,12 @@ class CropPlanner:
         return img
 
     def crop(self, img: np.ndarray) -> np.ndarray:
-        """[h, w, c] -> [n, patch, patch, c] using the current plan."""
+        """[h, w, c] -> [n, patch, patch, c] using the current plan.
+
+        Like the reference (real_datasets.py:192-204), non-overlapped mode
+        keeps only the first crop_per_image row-major grid cells when the
+        grid is larger; when crop_per_image exceeds the grid we clamp to the
+        grid (the reference would index out of range there)."""
         p = self.patch
         n = min(self.n, len(self.h_start))
         out = np.empty((n, p, p, img.shape[-1]), np.float32)

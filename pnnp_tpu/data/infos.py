@@ -52,7 +52,11 @@ def _meta_for(path: str) -> dict:
 
         with open(path, "rb") as f:
             tags = exifread.process_file(f, details=False)
-        expo = eval(str(tags.get("EXIF ExposureTime", tags.get("Image ExposureTime"))))
+        from fractions import Fraction
+
+        # Fraction parses both '1/30' and '0.5'; never eval() metadata
+        expo = float(Fraction(str(
+            tags.get("EXIF ExposureTime", tags.get("Image ExposureTime")))))
         iso = int(str(tags.get("EXIF ISOSpeedRatings", tags.get("Image ISOSpeedRatings"))))
         return {"ISO": iso, "ExposureTime": float(expo), "wb": DEFAULT_WB, "ccm": SONY_CCM}
     except Exception:
@@ -60,6 +64,16 @@ def _meta_for(path: str) -> dict:
     m = re.search(r"_(\d+(?:\.\d+)?)s\.", os.path.basename(path))
     expo = float(m.group(1)) if m else 0.1
     return {"ISO": 100, "ExposureTime": expo, "wb": DEFAULT_WB, "ccm": SONY_CCM}
+
+
+def _dedup_cached(files) -> list:
+    """Sorted unique files, preferring a decode cache over its source raw
+    (the cache convention is path + '.npy', tools/decode_cache.py) — without
+    this, trees holding both raws and caches double-index every frame."""
+    files = sorted(set(files))
+    have = set(files)
+    return [f for f in files
+            if f.endswith(".npy") or (f + ".npy") not in have]
 
 
 def get_sid_info(root_dir: str, out_path: str, mode: str = "train",
@@ -71,7 +85,10 @@ def get_sid_info(root_dir: str, out_path: str, mode: str = "train",
         pairs: dict = {}
         with open(pair_list) as f:
             for line in f:
-                short, long_, *_ = line.split()
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                short, long_ = parts[0], parts[1]
                 pairs.setdefault(long_, []).append(short)
         for long_, shorts in pairs.items():
             lp = os.path.join(root_dir, long_.lstrip("./"))
@@ -87,11 +104,12 @@ def get_sid_info(root_dir: str, out_path: str, mode: str = "train",
     else:
         long_dir = os.path.join(root_dir, "long")
         short_dir = os.path.join(root_dir, "short")
-        for lp in sorted(glob.glob(os.path.join(long_dir, "*"))):
-            if lp.endswith(".json"):
-                continue
+        for lp in _dedup_cached(
+            p for p in glob.glob(os.path.join(long_dir, "*"))
+            if not p.endswith(".json")
+        ):
             fid = os.path.basename(lp).split("_")[0]
-            shorts = sorted(
+            shorts = _dedup_cached(
                 s for s in glob.glob(os.path.join(short_dir, f"{fid}_*"))
                 if not s.endswith(".json")
             )
@@ -118,7 +136,7 @@ def get_eld_info(root_dir: str, out_path: str, camera: str = "SonyA7S2",
         key=lambda p: int(p.rsplit("-", 1)[-1]),
     )
     for sd in scene_dirs:
-        files = sorted(
+        files = _dedup_cached(
             glob.glob(os.path.join(sd, f"IMG_*{suffix}"))
             + glob.glob(os.path.join(sd, "IMG_*.npy"))
         )
@@ -151,7 +169,7 @@ def get_lrid_info(root_dir: str, out_path: str, dstname: str = "indoor_x5",
     short_infos = {dg: [] for dg in ratio_list}
     scene_dirs = sorted(glob.glob(os.path.join(root_dir, dstname, "*")))
     for sd in scene_dirs:
-        gts = sorted(
+        gts = _dedup_cached(
             p for p in glob.glob(os.path.join(sd, "GT*", "*")) if not p.endswith(".json")
         )
         if not gts:
@@ -159,11 +177,14 @@ def get_lrid_info(root_dir: str, out_path: str, dstname: str = "indoor_x5",
         meta_g = _meta_for(gts[0])
         gt_infos.append({"name": os.path.basename(sd), "data": gts[0], **meta_g})
         for dg in ratio_list:
-            shorts = sorted(
+            shorts = _dedup_cached(
                 p for p in glob.glob(os.path.join(sd, f"short*x{dg}", "*"))
                 + glob.glob(os.path.join(sd, f"short_x{dg:02d}", "*"))
                 if not p.endswith(".json")
             )
+            if not shorts:
+                log(f"WARNING: {os.path.basename(sd)} has no short*x{dg} "
+                    "frames; dataset sampling at this dgain will fail")
             short_infos[dg].append({
                 "data": shorts,
                 "metadata": [_meta_for(s) for s in shorts],

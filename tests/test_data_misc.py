@@ -188,3 +188,17 @@ def test_predict_saves_npy(tmp_path, monkeypatch):
     assert out.shape == (32, 32, 4)
     saved = np.load("dsout.npy")
     np.testing.assert_array_equal(saved, out)
+
+
+def test_infos_dedup_decode_cache(tmp_path):
+    """Trees holding both raws and their decode caches (path + '.npy') must
+    index each frame once, preferring the cache (regression: every image
+    double-indexed, breaking positional GT/short pairing)."""
+    import os
+
+    from pnnp_tpu.data.infos import _dedup_cached
+
+    files = ["a/IMG_1.ARW", "a/IMG_1.ARW.npy", "a/IMG_2.ARW",
+             "a/IMG_3.npy", "a/IMG_1.ARW.npy"]
+    out = _dedup_cached(files)
+    assert out == ["a/IMG_1.ARW.npy", "a/IMG_2.ARW", "a/IMG_3.npy"]
