@@ -12,7 +12,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pnnp_tpu.models.unet import conv_init, lrelu
+from pnnp_tpu.models.unet import ResidualBlock, conv_init, lrelu
 
 
 class ConvWithBN(nn.Module):
@@ -61,9 +61,11 @@ class ChannelAttention(nn.Module):
         c = x.shape[-1]
         hidden = max(c // self.ratio, 1)
         mlp = nn.Sequential([
-            nn.Dense(hidden, use_bias=False, dtype=self.dtype),
+            nn.Dense(hidden, use_bias=False, dtype=self.dtype,
+                     kernel_init=conv_init),
             nn.relu,
-            nn.Dense(c, use_bias=False, dtype=self.dtype),
+            nn.Dense(c, use_bias=False, dtype=self.dtype,
+                     kernel_init=conv_init),
         ])
         avg = mlp(jnp.mean(x, axis=(1, 2)))
         mx = mlp(jnp.max(x, axis=(1, 2)))
@@ -83,6 +85,7 @@ class SpatialAttention(nn.Module):
         avg = jnp.mean(x, axis=-1, keepdims=True)
         mx = jnp.max(x, axis=-1, keepdims=True)
         att = nn.Conv(1, (self.kernel, self.kernel), padding="SAME",
+                      kernel_init=conv_init,
                       use_bias=False, dtype=self.dtype)(
             jnp.concatenate([avg, mx], axis=-1)
         )
@@ -103,21 +106,24 @@ class CBAM(nn.Module):
 
 
 def pixel_shuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Depth-to-space [N, H, W, C*r^2] -> [N, rH, rW, C]."""
+    """Depth-to-space [N, H, W, C*r^2] -> [N, rH, rW, C], torch channel
+    order (C-major: channel index c*r^2 + i*r + j maps to offset (i, j)),
+    so converted torch.PixelShuffle checkpoints stay spatially coherent."""
     n, h, w, c = x.shape
     r = factor
-    x = x.reshape(n, h, w, r, r, c // (r * r))
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(n, h * r, w * r, c // (r * r))
+    cp = c // (r * r)
+    x = x.reshape(n, h, w, cp, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(n, h * r, w * r, cp)
 
 
 def pixel_unshuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Space-to-depth [N, rH, rW, C] -> [N, H, W, C*r^2]
-    (reference: modules.py:277-304)."""
+    """Space-to-depth [N, rH, rW, C] -> [N, H, W, C*r^2], torch channel
+    order (reference: modules.py:277-304)."""
     n, H, W, c = x.shape
     r = factor
     x = x.reshape(n, H // r, r, W // r, r, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
     return x.reshape(n, H // r, W // r, c * r * r)
 
 
@@ -155,8 +161,6 @@ class ResBlockStack(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from pnnp_tpu.models.unet import ResidualBlock
-
         for i in range(self.n_layers):
             x = ResidualBlock(self.features, dtype=self.dtype, name=f"block{i}")(x)
         return x

@@ -41,10 +41,21 @@ def build_model(arch: Mapping[str, Any]):
         raise KeyError(f"unknown arch '{name}'; known: {sorted(_REGISTRY)}")
     cls = _REGISTRY[name]
     nframes = int(arch.get("nframes", 1))
+    dtype_name = str(arch.get("dtype", "float32"))
+    if dtype_name not in _DTYPES:
+        raise KeyError(
+            f"unknown dtype '{dtype_name}'; known: {sorted(_DTYPES)}")
     return cls(
         in_nc=int(arch.get("in_nc", 4)) * nframes,
         out_nc=int(arch.get("out_nc", 4)),
         nf=int(arch.get("nf", 32)),
         res=bool(arch.get("res", False)),
-        dtype=_DTYPES.get(str(arch.get("dtype", "float32")), jnp.float32),
+        dtype=_DTYPES[dtype_name],
     )
+
+
+def example_input_channels(arch: dict) -> int:
+    """Channels of the init/apply example: in_nc x nframes (multi-frame
+    inputs stack along channels; flax infers conv widths from the traced
+    example, so THIS — not the model's in_nc field — decides the kernels)."""
+    return int(arch.get("in_nc", 4)) * int(arch.get("nframes", 1))

@@ -179,6 +179,8 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # reference structure (modules.py:176-197): convWithBN(ReLU) ->
+        # convWithBN(no act) -> LeakyReLU(0.2) -> + shortcut
         conv = lambda f, k, name: nn.Conv(
             f, (k, k), padding="SAME", use_bias=False, name=name,
             dtype=self.dtype, kernel_init=conv_init,

@@ -24,6 +24,7 @@ import numpy as np
 from pnnp_tpu.config import load_runfile
 from pnnp_tpu.data import build_dataset, DataLoader
 from pnnp_tpu.models import build_model, PixelWiseISOProxy, NoiseFlow
+from pnnp_tpu.models.registry import example_input_channels
 from pnnp_tpu.ops import illuminance_correct, psnr as psnr_fn, ssim as ssim_fn, fast_isp
 from pnnp_tpu.ops.metrics import rgb_quality
 from pnnp_tpu.parallel import (
@@ -93,7 +94,7 @@ class Trainer:
         # --- model ---------------------------------------------------------
         self.model = build_model(self.arch)
         patch = int(self.dst.get("patch_size", 512))
-        example = jnp.zeros((1, patch, patch, self.arch.get("in_nc", 4)))
+        example = jnp.zeros((1, patch, patch, example_input_channels(self.arch)))
         self.state = create_train_state(jax.random.key(seed), self.model, example)
         self.lr_schedule = build_lr_schedule(self.hyper)
 
@@ -354,7 +355,7 @@ class Trainer:
     def _recover_state(self):
         """Rebuild a usable train state after a failed (donated) step."""
         patch = int(self.dst.get("patch_size", 512))
-        example = jnp.zeros((1, patch, patch, self.arch.get("in_nc", 4)))
+        example = jnp.zeros((1, patch, patch, example_input_channels(self.arch)))
         self.state = create_train_state(jax.random.key(self.seed), self.model, example)
         restored = self.ckpt.restore("last")
         if restored is not None:

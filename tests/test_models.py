@@ -249,3 +249,30 @@ def test_checkpoint_best_psnr_survives_resume(tmp_path):
     with open(m2.best_path(), "rb") as f:
         best = pickle.load(f)
     np.testing.assert_array_equal(best["params"]["w"], params_best["w"])
+
+
+def test_pixel_shuffle_matches_torch():
+    """pixel_(un)shuffle must use torch's C-major channel order so converted
+    torch.PixelShuffle checkpoints stay spatially coherent (regression: the
+    r-major reshape scrambled 2x2 superpixels)."""
+    import os
+
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+
+    from pnnp_tpu.models.blocks import pixel_shuffle, pixel_unshuffle
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4, 6, 12)).astype(np.float32)
+    ours = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+    ref = torch.pixel_shuffle(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), 2).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(ours, ref)
+
+    y = rng.standard_normal((2, 8, 12, 3)).astype(np.float32)
+    ours_u = np.asarray(pixel_unshuffle(jnp.asarray(y), 2))
+    ref_u = torch.pixel_unshuffle(
+        torch.from_numpy(y.transpose(0, 3, 1, 2)), 2).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(ours_u, ref_u)
