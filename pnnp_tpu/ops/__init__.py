@@ -20,7 +20,7 @@ from pnnp_tpu.ops.isp import (
     fast_isp,
     bilinear_demosaic,
 )
-from pnnp_tpu.ops.vst import vst, inverse_vst
+from pnnp_tpu.ops.vst import vst, inverse_vst, inverse_vst_batch
 from pnnp_tpu.ops.tukey import (
     tukeylambda_ppf,
     tukeylambda_cdf,

@@ -13,8 +13,9 @@ import jax.numpy as jnp
 
 def _box(img: jnp.ndarray, k: int) -> jnp.ndarray:
     """Mean filter with edge-replicate padding over the last two dims of [..., H, W]."""
-    pad = k // 2
-    x = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(pad, pad), (pad, pad)], mode="edge")
+    # asymmetric pad keeps output size n for even k too (pad + pad - (k-1) = 0)
+    pl, pr = k // 2, (k - 1) // 2
+    x = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(pl, pr), (pl, pr)], mode="edge")
     # separable box via cumulative sums
     ker = jnp.ones((k,), img.dtype) / k
 

@@ -18,7 +18,12 @@ def vst(x, sigma, mu=0.0, gain=1.0, wp=1.0):
 
 
 def inverse_vst(x, sigma, gain=1.0, wp=1.0):
-    """Algebraic (exact-mean) inverse of :func:`vst`."""
+    """Algebraic (exact-mean) inverse of :func:`vst` at ``wp=1``.
+
+    NOTE reference-exact quirk (isp_algos.py:13-18 vs :4-11): for wp != 1
+    the forward never scales x into the wp domain while the inverse does,
+    so the round trip is off by 1/wp — both reference variants are only
+    ever used with wp=1."""
     x = x * wp
     y = (x / 2.0) ** 2 - 3.0 / 8.0 - sigma**2 / gain**2
     return y * gain / wp

@@ -41,14 +41,15 @@ def build_lr_schedule(hyper: dict):
     """From a runfile ``hyper`` block (reference: base_trainer.py:33-43)."""
     num_epochs = hyper["stop_epoch"] - hyper.get("last_epoch", 0)
     step_size = hyper.get("step_size", 10)
-    T = hyper.get("T", 1)
+    T = max(int(hyper.get("T", 1)), 1)
     name = hyper.get("lr_scheduler", "WarmupCosine").lower()
     lr = hyper["learning_rate"]
     if "cos" in name:
-        return lambda e: cosine_warm_restart(e, period=num_epochs // T, lr=lr, peak=step_size)
+        return lambda e: cosine_warm_restart(
+            e, period=max(num_epochs // T, 1), lr=lr, peak=step_size)
     if "multi" in name:
         return lambda e: multistep(
-            e, period=num_epochs // T, decay_base=1,
+            e, period=max(num_epochs // T, 1), decay_base=1,
             milestone=(step_size, step_size * 9 // 5), gamma=(0.5, 0.1), lr=lr,
         )
     return lambda e: jnp.asarray(lr, jnp.float32)

@@ -248,35 +248,43 @@ def make_train_step(
 
     else:
 
-        def apply_model(variables, lr_img):
-            if deep_supervision:
-                return model.apply(variables, lr_img, train=True)
-            return model.apply(variables, lr_img)
+        def apply_model(variables, lr_img, mutable):
+            kwargs = {"train": True} if deep_supervision else {}
+            if mutable:
+                return model.apply(variables, lr_img, mutable=mutable, **kwargs)
+            return model.apply(variables, lr_img, **kwargs), {}
 
         if remat:
-            apply_model = jax.checkpoint(apply_model)
+            apply_model = jax.checkpoint(apply_model, static_argnums=(2,))
 
         def loss_fn(params, batch_stats, lr_img, hr_img):
             variables = {"params": params}
+            # BatchNorm-bearing models must run with mutable batch_stats
+            # during training or flax errors (or silently freezes the
+            # running stats at init); structure is static at trace time.
+            mutable = ("batch_stats",) if batch_stats else ()
             if batch_stats is not None:
                 variables["batch_stats"] = batch_stats
             if deep_supervision:
-                outs = apply_model(variables, lr_img)
+                outs, updates = apply_model(variables, lr_img, mutable)
                 loss = unet_dpsv_loss(outs, hr_img)
                 pred = outs[0]
             else:
-                pred = apply_model(variables, lr_img)
+                pred, updates = apply_model(variables, lr_img, mutable)
                 loss = unet_loss(pred, hr_img)
-            return loss, pred
+            return loss, (pred, updates)
 
     def step(state: TrainState, batch, key, epoch):
         lr_img, hr_img, ratio = synth(key, batch)
         lr_img, hr_img = clip_lr_hr(lr_img, hr_img, clip_mode)
-        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, lr_img, hr_img
         )
+        pred, updates = aux if isinstance(aux, tuple) else (aux, {})
         lr = lr_schedule(epoch)
         state = apply_scaled_updates(state, grads, lr)
+        if isinstance(updates, dict) and updates.get("batch_stats"):
+            state = state.replace(batch_stats=updates["batch_stats"])
         mse = jnp.mean((jnp.clip(pred, 0, 1) - jnp.clip(hr_img, 0, 1)) ** 2)
         metrics = {
             "loss": loss,

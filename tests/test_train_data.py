@@ -251,3 +251,50 @@ def test_loader_worker_exception_propagates(tmp_path):
     with np.testing.assert_raises(ValueError):
         for _ in loader:
             pass
+
+
+def test_schedule_short_run_no_nan():
+    """period = num_epochs // T could hit 0 near a resume boundary, making
+    the cosine LR NaN/inf and silently NaN-ing the whole model."""
+    from pnnp_tpu.train import build_lr_schedule
+
+    fn = build_lr_schedule({"lr_scheduler": "WarmupCosine", "learning_rate": 1e-3,
+                            "stop_epoch": 500, "last_epoch": 498, "T": 3,
+                            "step_size": 2})
+    for e in range(0, 4):
+        v = float(fn(e))
+        assert np.isfinite(v) and 0 <= v <= 1e-2
+
+
+def test_bn_model_trains_running_stats():
+    """The generic train step must run BatchNorm models with mutable
+    batch_stats (regression: flax error with deep supervision, silently
+    frozen stats otherwise)."""
+    import flax.linen as nn
+    import jax
+
+    from pnnp_tpu.train import build_lr_schedule, make_train_step
+    from pnnp_tpu.train.state import TrainState, make_adam_direction
+
+    class BNNet(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.BatchNorm(use_running_average=False)(x)
+            return nn.Conv(4, (3, 3), padding="SAME")(x)
+
+    m = BNNet()
+    v = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)))
+    state = TrainState.create(apply_fn=m.apply, params=v["params"],
+                              tx=make_adam_direction(),
+                              batch_stats=v["batch_stats"])
+    fn = build_lr_schedule({"lr_scheduler": "fixed", "learning_rate": 1e-3,
+                            "stop_epoch": 10, "last_epoch": 0})
+    step = make_train_step(m, fn, donate=False)
+    batch = {"lr": jnp.ones((2, 8, 8, 4)) * 0.3,
+             "hr": jnp.ones((2, 8, 8, 4)) * 0.5}
+    mean0 = np.asarray(jax.tree_util.tree_leaves(state.batch_stats)[0]).copy()
+    state, metrics = step(state, batch, jax.random.key(1), 0)
+    mean1 = np.asarray(jax.tree_util.tree_leaves(state.batch_stats)[0])
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.allclose(mean0, mean1)
