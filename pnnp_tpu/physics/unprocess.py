@@ -72,14 +72,20 @@ def unprocess(
 ):
     """sRGB -> unprocessed linear raw + metadata (reference: unprocess.py:170-217).
 
-    ``lock_wb`` False samples random gains; otherwise pass a 3-sequence
-    ``(rgb, red, blue)`` of fixed gains (the reference's list form).
+    ``lock_wb`` False/None samples random gains; True uses the reference's
+    fixed-gain default (1, 2, 2 — the commented form at unprocess.py:175),
+    matching the dataset layer's boolean ``lock_wb`` flag; a 3-sequence
+    ``(rgb, red, blue)`` passes fixed gains (the reference's list form).
     """
     rgb2cam = random_ccm(camera_type)
     cam2rgb = jnp.linalg.inv(rgb2cam)
-    if lock_wb is False:
+    if lock_wb is False or lock_wb is None:
         rgb_gain, red_gain, blue_gain = random_gains(key, camera_type, 1)
         rgb_gain, red_gain, blue_gain = rgb_gain[0], red_gain[0], blue_gain[0]
+    elif lock_wb is True:
+        rgb_gain = jnp.float32(1.0)
+        red_gain = jnp.float32(2.0)
+        blue_gain = jnp.float32(2.0)
     else:
         rgb_gain, red_gain, blue_gain = (jnp.float32(g) for g in lock_wb)
 

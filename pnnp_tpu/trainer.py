@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pnnp_tpu.config import load_runfile
+from pnnp_tpu.config import command_of, load_runfile
 from pnnp_tpu.data import build_dataset, DataLoader
 from pnnp_tpu.models import build_model, PixelWiseISOProxy, NoiseFlow
 from pnnp_tpu.models.registry import example_input_channels
@@ -193,7 +193,9 @@ class Trainer:
         log(f"PatchSize:\t{self.dst.get('patch_size')}", logfile=self.logfile, notime=True)
         log(f"LearningRate:\t{self.hyper.get('learning_rate')}", logfile=self.logfile, notime=True)
         log(f"Epoch:\t\t{self.hyper.get('stop_epoch')}", logfile=self.logfile, notime=True)
-        log(f"Command:\t{self.dst.get('command')}", logfile=self.logfile, notime=True)
+        cmd = command_of(self.dst)
+        log(f"Command:\t{cmd.raw} (flags: {sorted(cmd.flags()) or '-'})",
+            logfile=self.logfile, notime=True)
         log(f"Devices:\t{jax.device_count()} ({jax.devices()[0].platform})",
             logfile=self.logfile, notime=True)
 
@@ -619,6 +621,31 @@ class Trainer:
         return out
 
 
+def eval_sweep(trainer, ds, ratios):
+    """Ratio/dgain sweep over an eval dataset, dispatching on its API.
+
+    change_eval_ratio takes precedence: SID ratio splits
+    (trainer_SID.py:551-562) and the LRID dgain ladder
+    (trainer_LRID.py:489-504) both sweep through it — phone datasets read
+    self.dgain, so assigning ratio_list directly would silently keep the
+    default ratio. ELD-style grids (ratio_list + recheck_length) come next.
+    Shared by trainer and trainer_led mains."""
+    ratios = [r for r in (ratios or []) if r is not None]
+    if hasattr(ds, "change_eval_ratio") and ratios:
+        for ratio in ratios:
+            ds.change_eval_ratio(ratio)
+            log(f"Dgain: {ratio}")
+            trainer.eval(-1)
+    elif hasattr(ds, "ratio_list") and hasattr(ds, "recheck_length") and ratios:
+        for dgain in ratios:
+            ds.ratio_list = [dgain]
+            ds.recheck_length()
+            log(f"Dgain: {dgain}")
+            trainer.eval(-1)
+    else:
+        trainer.eval(-1)
+
+
 def main(argv=None):
     p = Parser.parse(argv)
     trainer = Trainer(p.runfile, mode=p.mode, nofig=p.nofig, debug=p.debug)
@@ -628,30 +655,8 @@ def main(argv=None):
     if mode == "test":
         trainer.test()
     if mode in ("eval", "evaltest"):
-
-        def sweep(ds, ratios):
-            if hasattr(ds, "change_eval_ratio"):
-                # SID ratio splits (trainer_SID.py:551-562) and the LRID
-                # dgain ladder (trainer_LRID.py:489-504) both sweep through
-                # change_eval_ratio — phone datasets read self.dgain, so
-                # assigning ratio_list directly would silently keep the
-                # default ratio.
-                for ratio in ratios:
-                    ds.change_eval_ratio(ratio)
-                    log(f"Dgain: {ratio}")
-                    trainer.eval(-1)
-            elif hasattr(ds, "ratio_list") and hasattr(ds, "recheck_length"):
-                # ELD-style scene x ISO x ratio grid (trainer_SID.py:538-549)
-                for dgain in ratios:
-                    ds.ratio_list = [dgain]
-                    ds.recheck_length()
-                    log(f"Dgain: {dgain}")
-                    trainer.eval(-1)
-            else:
-                trainer.eval(-1)
-
         ds = trainer.dataset_eval
-        sweep(ds, list(trainer.dst_eval.get("ratio_list", [])) or [None])
+        eval_sweep(trainer, ds, list(trainer.dst_eval.get("ratio_list", [])))
 
         # evaltest additionally sweeps the test split (reference: the SID
         # x100/x250/x300 branch of trainer_SID.py:551-562).
@@ -662,8 +667,8 @@ def main(argv=None):
             # whole block (not just the dataset) for the test-split sweep
             trainer.dst_eval = dict(trainer.dst_test, mode="evaltest")
             trainer.dataset_eval = build_dataset(trainer.dst_eval, seed=trainer.seed)
-            sweep(trainer.dataset_eval,
-                  list(trainer.dst_test.get("ratio_list", [100, 250, 300])))
+            eval_sweep(trainer, trainer.dataset_eval,
+                       list(trainer.dst_test.get("ratio_list", [100, 250, 300])))
 
 
 if __name__ == "__main__":

@@ -12,7 +12,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from pnnp_tpu.trainer import Trainer
+from pnnp_tpu.trainer import Trainer, eval_sweep
 
 
 class LEDTrainer(Trainer):
@@ -31,14 +31,10 @@ def main(argv=None):
     p.add_argument("--nofig", action="store_true")
     a = p.parse_args(argv)
     t = LEDTrainer(a.runfile, mode=a.mode, nofig=a.nofig)
-    ds = t.dataset_eval
-    if hasattr(ds, "ratio_list"):
-        for dgain in list(t.dst_eval.get("ratio_list", [])):
-            ds.ratio_list = [dgain]
-            ds.recheck_length()
-            t.eval(-1)
-    else:
-        t.eval(-1)
+    # same dispatch as the main trainer (change_eval_ratio first — phone
+    # datasets read self.dgain; a raw ratio_list assignment silently keeps
+    # the default ratio)
+    eval_sweep(t, t.dataset_eval, list(t.dst_eval.get("ratio_list", [])))
 
 
 if __name__ == "__main__":
