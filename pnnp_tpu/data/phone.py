@@ -123,12 +123,46 @@ class PhoneBaseDataset(BaseRawDataset):
         cmd = self.command
         if ("darkshading" in cmd or "blc" in cmd) and self.args.get("ds_dir"):
             try:
-                self.phone_ds = PhoneDarkShading(self.args["ds_dir"], naive="++" not in cmd)
+                ds = PhoneDarkShading(self.args["ds_dir"], naive="++" not in cmd)
+                ds(self.iso, 30.0)  # probe: the loads are lazy, so a missing
+                # calibration file would otherwise crash mid-epoch in a
+                # loader worker instead of falling back here
+                self.phone_ds = ds
             except Exception as e:
                 log(f"dark shading unavailable: {e}")
 
     def hot_check(self, scene_idx: int) -> bool:
+        # scene_idx comes from the name's trailing digits, like the
+        # reference's int(name[-3:]) at every call site
+        # (phone_datasets.py:493/580/701/962)
         return scene_idx in HOT_IDS.get(self.args["dstname"], [])
+
+    def _scan_bias(self, root):
+        d = os.path.join(root, str(self.iso))
+        if not os.path.isdir(d):
+            return [], []
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if not f.endswith((".pkl", ".info"))]
+        exps = [30.0] * len(files)
+        meta = os.path.join(root, "bias_meta.pkl")
+        if os.path.exists(meta):
+            with open(meta, "rb") as f:
+                m = pickle.load(f)
+            exps = [float(m.get(os.path.basename(p), 30.0)) for p in files]
+        return files, exps
+
+    def _preload_bias(self, paths):
+        """'buffer' command: load the bias library into memory once
+        (reference phone_datasets.py:320-327)."""
+        self._bias_buf = {}
+        if "buffer" in self.command:
+            for path in paths:
+                self._bias_buf[path] = np.asarray(dataload(path))
+
+    def _load_black(self, path):
+        if path in self._bias_buf:
+            return self._bias_buf[path]
+        return np.asarray(dataload(path))
 
     @staticmethod
     def blc_rggb(raw: np.ndarray, bias: np.ndarray) -> np.ndarray:
@@ -262,34 +296,14 @@ class IMX686MixDataset(IMX686Dataset):
         self.blacks_hot, self.black_exps_hot = [], []
         bias_dir = self.args.get("bias_dir")
         if "HB" in self.command and bias_dir:
+            bias_dir = bias_dir.rstrip(os.sep)  # '-hot' suffixes the dir name
             self.blacks, self.black_exps = self._scan_bias(bias_dir)
             self.blacks_hot, self.black_exps_hot = self._scan_bias(bias_dir + "-hot")
-        # 'buffer' command: preload the bias library into memory once
-        # (reference phone_datasets.py:320-327 reads every frame up front;
-        # without it each pasted item re-reads from disk).
-        self._bias_buf = {}
-        if "buffer" in self.command:
-            for path in list(self.blacks) + list(self.blacks_hot):
-                self._bias_buf[path] = np.asarray(dataload(path))
-
-    def _load_black(self, path):
-        if path in self._bias_buf:
-            return self._bias_buf[path]
-        return np.asarray(dataload(path))
-
-    def _scan_bias(self, root):
-        d = os.path.join(root, str(self.iso))
-        if not os.path.isdir(d):
-            return [], []
-        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
-                 if not f.endswith((".pkl", ".info"))]
-        exps = [30.0] * len(files)
-        meta = os.path.join(root, "bias_meta.pkl")
-        if os.path.exists(meta):
-            with open(meta, "rb") as f:
-                m = pickle.load(f)
-            exps = [float(m.get(os.path.basename(p), 30.0)) for p in files]
-        return files, exps
+            if self.blacks and not self.blacks_hot and HOT_IDS.get(
+                    self.args["dstname"]):
+                log(f"WARNING: no hot bias library at {bias_dir}-hot; hot "
+                    "scenes will never receive bias pastes")
+        self._preload_bias(list(self.blacks) + list(self.blacks_hot))
 
     def __getitem__(self, idx):
         train = self.args["mode"] == "train"
@@ -347,18 +361,9 @@ class IMX686SFRNRawDataset(PhoneBaseDataset):
         super().__init__(args, seed)
         bias_dir = self.args.get("bias_dir")
         self.blacks = []
-        if bias_dir and os.path.isdir(os.path.join(bias_dir, "6400")):
-            d = os.path.join(bias_dir, "6400")
-            self.blacks = [os.path.join(d, f) for f in sorted(os.listdir(d))]
-        self._bias_buf = {}
-        if "buffer" in self.command:  # see IMX686MixDataset note
-            for path in self.blacks:
-                self._bias_buf[path] = np.asarray(dataload(path))
-
-    def _load_black(self, path):
-        if path in self._bias_buf:
-            return self._bias_buf[path]
-        return np.asarray(dataload(path))
+        if bias_dir:
+            self.blacks, _ = self._scan_bias(bias_dir.rstrip(os.sep))
+        self._preload_bias(self.blacks)
 
     def __getitem__(self, idx):
         idr = self.id_remap[idx % len(self.id_remap)]
