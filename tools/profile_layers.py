@@ -13,7 +13,10 @@ Usage: python tools/profile_layers.py [--iters 30]
 from __future__ import annotations
 
 import argparse
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
