@@ -37,13 +37,19 @@ class ImgDataset(BaseRawDataset):
         img = np.asarray(dataload(self.files[idx]), np.float32)
         if img.max() > 1.5:
             img = img / 255.0
-        H, W = img.shape[:2]
+        if img.ndim == 2:  # grayscale -> 3-channel
+            img = np.stack([img] * 3, axis=-1)
         p = self.args["patch_size"] * 2  # sRGB-space patch (mosaic halves it)
+        H, W = img.shape[:2]
+        if H < p or W < p:  # reflect-pad small images up to the patch size
+            img = np.pad(img, ((0, max(p - H, 0)), (0, max(p - W, 0)), (0, 0)),
+                         mode="reflect")
+            H, W = img.shape[:2]
         n = self.args["crop_per_image"]
         crops = np.empty((n, p, p, 3), np.float32)
         for i in range(n):
-            h0 = int(self.rng.integers(0, max(H - p, 1)))
-            w0 = int(self.rng.integers(0, max(W - p, 1)))
+            h0 = int(self.rng.integers(0, H - p + 1))
+            w0 = int(self.rng.integers(0, W - p + 1))
             crops[i] = img[h0 : h0 + p, w0 : w0 + p, :3]
         return {
             "srgb": crops,
@@ -64,13 +70,22 @@ class MixedSubsetDataset:
         self.l2 = len(extra)
 
     def __len__(self):
-        return self.l1 + max(self.l2 // self.extra_rate, 1)
+        return self.l1 + self.l2 // self.extra_rate
 
     def __getitem__(self, idx):
         if idx < self.l1:
             return self.base[idx]
-        j = (idx - self.l1) * self.extra_rate % max(self.l2, 1)
-        return self.extra[j]
+        # one mixed sample concatenates extra_rate consecutive extra items
+        # (the reference's Multi_Sync concat, data_process/__init__.py:76-87)
+        # so ALL extra items are covered, at 1/extra_rate sampling weight
+        j = (idx - self.l1) * self.extra_rate
+        items = [self.extra[(j + k) % self.l2] for k in range(self.extra_rate)]
+        out = dict(items[0])
+        for key, v in items[0].items():
+            if isinstance(v, np.ndarray) and v.ndim >= 1:
+                out[key] = np.concatenate(
+                    [np.atleast_1d(i[key]) for i in items], axis=0)
+        return out
 
     def reseed_worker(self, seed: int, epoch: int, worker: int):
         for d in (self.base, self.extra):

@@ -127,7 +127,10 @@ def bayer2gray(raw: jnp.ndarray) -> jnp.ndarray:
 def repair_bad_pixels(raw: jnp.ndarray, bad_mask: jnp.ndarray) -> jnp.ndarray:
     """Replace flagged pixels with the median of their 3x3 same-color
     neighbourhood (reference: utils/isp_ops.py:115-123 used cv2.medianBlur
-    per RGGB plane + point writes)."""
+    per RGGB plane + point writes).
+
+    Unlike the rest of this module, takes a single 2-D mosaic [H, W]
+    (vmap for batches)."""
     H, W = raw.shape
     rggb = bayer2rggb(raw)  # [H/2, W/2, 4]
     xp = jnp.pad(rggb, ((1, 1), (1, 1), (0, 0)), mode="edge")

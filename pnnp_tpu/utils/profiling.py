@@ -9,10 +9,12 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import threading
 import time
 from collections import defaultdict
 
 _TOTALS: dict = defaultdict(float)
+_TOTALS_LOCK = threading.Lock()
 _COUNTS: dict = defaultdict(int)
 
 
@@ -25,8 +27,10 @@ def fn_timer(fn):
         try:
             return fn(*args, **kwargs)
         finally:
-            _TOTALS[fn.__qualname__] += time.perf_counter() - t0
-            _COUNTS[fn.__qualname__] += 1
+            dt = time.perf_counter() - t0
+            with _TOTALS_LOCK:  # loader worker threads share these
+                _TOTALS[fn.__qualname__] += dt
+                _COUNTS[fn.__qualname__] += 1
 
     return wrapper
 

@@ -12,8 +12,10 @@ import numpy as np
 
 
 def _reflect(nums, lo, hi):
+    # single bounce + clamp: windows wider than 2x the clip would otherwise
+    # go negative after one reflection and silently wrap in gathers
     nums = np.abs(np.asarray(nums) - lo)
-    return hi - np.abs(hi - nums)
+    return np.clip(hi - np.abs(hi - nums), lo, hi)
 
 
 def frame_index_splitor(nframes: int = 1, pad: bool = True, reflect: bool = True,

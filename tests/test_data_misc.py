@@ -67,9 +67,21 @@ def test_mixed_subset_rates(tmp_path):
     )
     base = build_dataset(dst)
     extra = build_dataset(dst)
-    mix = MixedSubsetDataset(base, extra, extra_rate=4)
-    assert len(mix) == len(base) + 1
-    assert mix[0]["hr"].shape == mix[len(base)]["hr"].shape
+    mix = MixedSubsetDataset(base, extra, extra_rate=2)
+    # reference semantics (data_process/__init__.py:73-87): l1 + l2 // rate
+    # samples, each mixed sample concatenating `rate` consecutive extra
+    # items so the whole extra subset is covered
+    assert len(mix) == len(base) + len(extra) // 2
+    assert mix[len(base)]["hr"].shape[0] == 2 * mix[0]["hr"].shape[0]
+    # an empty extra contributes no samples instead of crashing
+    class Empty:
+        def __len__(self):
+            return 0
+
+        def __getitem__(self, i):
+            raise IndexError
+
+    assert len(MixedSubsetDataset(base, Empty(), extra_rate=4)) == len(base)
 
 
 def test_sfrn_lr10_limits_bias_pick(tmp_path, monkeypatch):
