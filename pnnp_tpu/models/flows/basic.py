@@ -41,7 +41,9 @@ def actnorm_data_init(x: jnp.ndarray) -> dict:
     (reference: actnorm.py:80-95).
     """
     flat = x.reshape(-1, x.shape[-1])
-    std = jnp.std(flat, axis=0, ddof=1)
+    # floor the std: a constant channel in the init batch (e.g. a clipped
+    # black-level plane) would otherwise give inf log_scale / NaN grads
+    std = jnp.maximum(jnp.std(flat, axis=0, ddof=1), 1e-6)
     mu = jnp.mean(flat / std, axis=0)
     return {"log_scale": -jnp.log(std), "shift": -mu}
 

@@ -42,6 +42,20 @@ def rational_quadratic_spline(
     ``unnormalized_*`` have a trailing K (num_bins) / K+1 (derivatives) axis
     broadcastable against ``inputs``. Returns (outputs, logabsdet).
     """
+    # broadcast shared (lower-rank) params up to the inputs' rank so the
+    # take_along_axis gathers work for the documented broadcast contract
+    def _up(p):
+        extra = inputs.ndim + 1 - p.ndim
+        return p.reshape((1,) * extra + p.shape) if extra > 0 else p
+
+    unnormalized_widths = jnp.broadcast_to(
+        _up(unnormalized_widths), inputs.shape + unnormalized_widths.shape[-1:])
+    unnormalized_heights = jnp.broadcast_to(
+        _up(unnormalized_heights), inputs.shape + unnormalized_heights.shape[-1:])
+    unnormalized_derivatives = jnp.broadcast_to(
+        _up(unnormalized_derivatives),
+        inputs.shape + unnormalized_derivatives.shape[-1:])
+
     num_bins = unnormalized_widths.shape[-1]
 
     widths = jax.nn.softmax(unnormalized_widths, axis=-1)
