@@ -30,6 +30,11 @@ def eval_crop(data: jnp.ndarray, patch_size: int, base: int = 64) -> jnp.ndarray
     H, W, _ = data.shape
     d = base // 2
     l = patch_size - base
+    if H < l or W < l:
+        raise ValueError(
+            f"image {H}x{W} smaller than the tile stride "
+            f"{l} (= patch_size {patch_size} - base {base}); lower patch_size "
+            "or evaluate the frame whole")
     padded = jnp.pad(data, ((d, d), (d, d), (0, 0)), mode="reflect")
     hs = _tile_starts(H, patch_size, l)
     ws = _tile_starts(W, patch_size, l)

@@ -16,13 +16,21 @@ _LAM_EPS = 1e-7
 
 
 def tukeylambda_ppf(p: jnp.ndarray, lam) -> jnp.ndarray:
-    """Quantile function Q(p; lam) = (p^lam - (1-p)^lam) / lam, logit at lam=0."""
+    """Quantile function Q(p; lam) = (p^lam - (1-p)^lam) / lam, logit at lam=0.
+
+    Computed as (expm1(lam*log p) - expm1(lam*log1p(-p))) / lam: the naive
+    power form catastrophically cancels for |lam| < ~1e-3 in float32 (both
+    powers round to ~1.0), deviating from scipy by up to 5e-2 at lam=1e-6;
+    the expm1 form stays accurate for all lam and has the exact logit limit.
+    """
     p = jnp.asarray(p)
     lam = jnp.asarray(lam, p.dtype)
+    logit = jnp.log(p) - jnp.log1p(-p)
     lam_safe = jnp.where(jnp.abs(lam) < _LAM_EPS, 1.0, lam)
-    q_nonzero = (p**lam_safe - (1.0 - p) ** lam_safe) / lam_safe
-    q_zero = jnp.log(p) - jnp.log1p(-p)
-    return jnp.where(jnp.abs(lam) < _LAM_EPS, q_zero, q_nonzero)
+    q_nonzero = (
+        jnp.expm1(lam_safe * jnp.log(p)) - jnp.expm1(lam_safe * jnp.log1p(-p))
+    ) / lam_safe
+    return jnp.where(jnp.abs(lam) < _LAM_EPS, logit, q_nonzero)
 
 
 def _support_bound(lam) -> jnp.ndarray:
