@@ -36,8 +36,15 @@ DEFAULT_WB = np.array([2.0, 1.0, 1.6, 1.0], np.float32)
 
 
 def _meta_for(path: str) -> dict:
-    """ISO/ExposureTime/WB/CCM for a raw file: sidecar JSON > exif > defaults."""
-    sidecar = os.path.splitext(path)[0] + ".json"
+    """ISO/ExposureTime/WB/CCM for a raw file: sidecar JSON > exif > defaults.
+
+    Sidecar lookup tries the path's own stem first, then (for decode-cache
+    files like ``IMG_1.ARW.npy``) the source raw's stem — tools/decode_cache
+    writes ``IMG_1.json`` next to ``IMG_1.ARW``."""
+    stem = os.path.splitext(path)[0]
+    sidecar = stem + ".json"
+    if not os.path.exists(sidecar):
+        sidecar = os.path.splitext(stem)[0] + ".json"
     if os.path.exists(sidecar):
         with open(sidecar) as f:
             m = json.load(f)

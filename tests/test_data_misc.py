@@ -214,3 +214,23 @@ def test_infos_dedup_decode_cache(tmp_path):
              "a/IMG_3.npy", "a/IMG_1.ARW.npy"]
     out = _dedup_cached(files)
     assert out == ["a/IMG_1.ARW.npy", "a/IMG_2.ARW", "a/IMG_3.npy"]
+
+
+def test_meta_sidecar_found_for_decode_cache(tmp_path):
+    """tools/decode_cache writes IMG_1.json next to IMG_1.ARW; indexing the
+    cache file IMG_1.ARW.npy must find that sidecar (regression: the lookup
+    only tried IMG_1.ARW.json, so cached trees fell back to ISO=100)."""
+    import json
+
+    from pnnp_tpu.data.infos import _meta_for
+
+    np.save(str(tmp_path / "IMG_1.ARW.npy"), np.zeros((4, 4), np.uint16))
+    with open(tmp_path / "IMG_1.json", "w") as f:
+        json.dump({"ISO": 3200, "ExposureTime": 0.04}, f)
+    m = _meta_for(str(tmp_path / "IMG_1.ARW.npy"))
+    assert m["ISO"] == 3200 and abs(m["ExposureTime"] - 0.04) < 1e-9
+    # plain .npy trees with stem sidecars keep working
+    np.save(str(tmp_path / "f2.npy"), np.zeros((4, 4), np.uint16))
+    with open(tmp_path / "f2.json", "w") as f:
+        json.dump({"ISO": 800, "ExposureTime": 0.1}, f)
+    assert _meta_for(str(tmp_path / "f2.npy"))["ISO"] == 800
