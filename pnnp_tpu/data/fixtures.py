@@ -45,8 +45,18 @@ def make_sid_fixture(root, n_scenes: int = 3, H: int = 32, W: int = 48):
 def make_sid_runfile(root, model_name: str = "DRYRUN_Unet", *, nf: int = 4,
                      patch_size: int = 8, H: int = 32, W: int = 48,
                      batch_size: int = 8, stop_epoch: int = 1,
-                     noise_code: str = "pr") -> dict:
-    """A minimal runfile dict wired to a :func:`make_sid_fixture` tree."""
+                     noise_code: str = "pr",
+                     lr_scheduler: str = "fixed") -> dict:
+    """A minimal runfile dict wired to a :func:`make_sid_fixture` tree.
+
+    ``lr_scheduler`` defaults to ``fixed`` (constant 1e-3): the SGDR
+    WarmupCosine schedule evaluates to lr=0 at epoch 1 for the degenerate
+    ``stop_epoch=1, T=1, step_size=2`` config (period=1 puts epoch 1 at a
+    restart boundary inside the zero-warmup window), which made every
+    fixture-driven "training" run apply zero updates and its finite-params /
+    parity assertions vacuous. Pass ``lr_scheduler="WarmupCosine"`` only for
+    tests that exercise the schedule itself.
+    """
     root = str(root)
     dst = {
         "root_dir": root, "dataset": "Raw_Dataset", "dstname": "SID",
@@ -69,7 +79,7 @@ def make_sid_runfile(root, model_name: str = "DRYRUN_Unet", *, nf: int = 4,
         "dst_eval": dict(dst, mode="eval", dataset="SID_Dataset"),
         "arch": {"name": "UNetSeeInDark", "in_nc": 4, "out_nc": 4, "nf": nf,
                  "nframes": 1, "res": False},
-        "hyper": {"lr_scheduler": "WarmupCosine", "learning_rate": 1e-3,
+        "hyper": {"lr_scheduler": lr_scheduler, "learning_rate": 1e-3,
                   "batch_size": batch_size, "last_epoch": 0, "step_size": 2,
                   "stop_epoch": stop_epoch, "T": 1, "save_freq": 1,
                   "plot_freq": 10**6, "best_psnr": 0},
