@@ -60,12 +60,33 @@ class ImgDataset(BaseRawDataset):
 
 class MixedSubsetDataset:
     """indoor + X mixer: full sampling of the indoor base, 1/4-rate sampling
-    of the second subset (reference: Multi_Real/Mix_Dataset semantics)."""
+    of the second subset (reference: Multi_Real/Mix_Dataset semantics).
+
+    The reference builds the extra subset with ``crop_per_image // rate``
+    (data_process/__init__.py:76-87) so concatenating ``rate`` extra items
+    restores the base per-item crop count; mixed batches then have a single
+    leading dim (one jit signature). When both datasets expose a
+    ``crop_per_image`` arg, this constructor enforces that contract —
+    adjusting the extra dataset in place when the base count divides evenly,
+    raising otherwise (ragged crop counts would force per-shape recompiles
+    and skew sampling weight toward extra items)."""
 
     def __init__(self, base, extra, extra_rate: int = 4):
         self.base = base
         self.extra = extra
         self.extra_rate = extra_rate
+        ba = getattr(base, "args", None)
+        ea = getattr(extra, "args", None)
+        if (isinstance(ba, dict) and isinstance(ea, dict)
+                and "crop_per_image" in ba and "crop_per_image" in ea
+                and ea["crop_per_image"] * extra_rate != ba["crop_per_image"]):
+            if ba["crop_per_image"] % extra_rate != 0:
+                raise ValueError(
+                    f"base crop_per_image={ba['crop_per_image']} is not "
+                    f"divisible by extra_rate={extra_rate}; build the extra "
+                    "dataset with crop_per_image = base // extra_rate "
+                    "(reference: data_process/__init__.py:76-87)")
+            ea["crop_per_image"] = ba["crop_per_image"] // extra_rate
         self.l1 = len(base)
         self.l2 = len(extra)
 

@@ -13,7 +13,6 @@ regardless of thread scheduling.
 from __future__ import annotations
 
 import threading
-import time
 from typing import Iterator
 
 import numpy as np
@@ -80,29 +79,39 @@ class DataLoader:
         # Static round-robin assignment (worker w takes batches w, w+nw, ...)
         # + per-(epoch, worker) RNG reseed makes multi-worker epochs
         # deterministic regardless of thread scheduling — the analog of
-        # torch's worker_init_fn (reference: base_trainer.py:20-25). The
-        # semaphore bounds in-flight batches to `prefetch` (real
-        # backpressure; results stay an ordered dict for in-order yield).
+        # torch's worker_init_fn (reference: base_trainer.py:20-25).
+        #
+        # Backpressure is a Condition bounding each worker's LEAD over
+        # consumption: worker w starts batch bi only once bi < yielded +
+        # prefetch. Unlike a counting semaphore (which let out-of-order
+        # completions tie up every permit while the worker owning the
+        # next-needed batch parked on acquire — a permanent hang when
+        # num_workers >= prefetch), the worker owning batch `yielded` always
+        # satisfies the predicate, so the consumer can never starve; at most
+        # `prefetch` computed-but-unconsumed batches exist at any time.
         results: dict = {}
-        lock = threading.Lock()
-        stop = threading.Event()
-        sem = threading.Semaphore(self.prefetch)
+        cond = threading.Condition()
+        state = {"yielded": 0, "stop": False}
+        prefetch = max(1, self.prefetch)
 
         def worker(w: int):
             if hasattr(self.dataset, "reseed_worker"):
                 self.dataset.reseed_worker(self.seed, self.epoch, w)
             for bi in range(w, len(batches), self.num_workers):
-                sem.acquire()
-                if stop.is_set():
-                    return
+                with cond:
+                    while not state["stop"] and bi >= state["yielded"] + prefetch:
+                        cond.wait()
+                    if state["stop"]:
+                        return
                 try:
                     batch = collate([self.dataset[int(i)] for i in batches[bi]])
                 except BaseException as e:  # surface in consumer
                     batch = e
-                with lock:
+                with cond:
                     results[bi] = batch
+                    cond.notify_all()
                 if isinstance(batch, BaseException):
-                    return
+                    return  # siblings keep draining; consumer raises at bi
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True)
@@ -112,21 +121,21 @@ class DataLoader:
             t.start()
         try:
             for bi in range(len(batches)):
-                while True:
-                    with lock:
-                        if bi in results:
-                            batch = results.pop(bi)
-                            break
-                        dead = not any(t.is_alive() for t in threads)
-                    if dead:
-                        raise RuntimeError(
-                            "DataLoader worker died without delivering its batch")
-                    time.sleep(0.002)
+                owner = threads[bi % self.num_workers]
+                with cond:
+                    while bi not in results:
+                        if not owner.is_alive():
+                            raise RuntimeError(
+                                "DataLoader worker died without delivering "
+                                f"batch {bi}")
+                        cond.wait(timeout=0.1)
+                    batch = results.pop(bi)
+                    state["yielded"] = bi + 1
+                    cond.notify_all()
                 if isinstance(batch, BaseException):
                     raise batch
-                sem.release()
                 yield batch
         finally:
-            stop.set()
-            for _ in threads:
-                sem.release()  # unblock workers parked on acquire
+            with cond:
+                state["stop"] = True
+                cond.notify_all()

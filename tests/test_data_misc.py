@@ -65,14 +65,22 @@ def test_mixed_subset_rates(tmp_path):
         crop_per_image=1, croptype="random_crop", command="", wp=16383, bl=512,
         ori=False, clip=2, infos_dir=str(tmp_path / "infos"),
     )
-    base = build_dataset(dst)
+    base = build_dataset(dict(dst, crop_per_image=2))
     extra = build_dataset(dst)
     mix = MixedSubsetDataset(base, extra, extra_rate=2)
     # reference semantics (data_process/__init__.py:73-87): l1 + l2 // rate
     # samples, each mixed sample concatenating `rate` consecutive extra
     # items so the whole extra subset is covered
     assert len(mix) == len(base) + len(extra) // 2
-    assert mix[len(base)]["hr"].shape[0] == 2 * mix[0]["hr"].shape[0]
+    # the constructor enforces the reference's crop contract (extra built at
+    # base_crops // rate) so every mixed item has ONE leading dim — no
+    # per-shape jit recompiles, no sampling-weight skew
+    assert extra.args["crop_per_image"] == 1
+    assert mix[len(base)]["hr"].shape[0] == mix[0]["hr"].shape[0] == 2
+    # an un-matchable contract (base crops not divisible by rate) raises
+    import pytest
+    with pytest.raises(ValueError):
+        MixedSubsetDataset(build_dataset(dst), build_dataset(dst), extra_rate=2)
     # an empty extra contributes no samples instead of crashing
     class Empty:
         def __len__(self):
@@ -81,7 +89,7 @@ def test_mixed_subset_rates(tmp_path):
         def __getitem__(self, i):
             raise IndexError
 
-    assert len(MixedSubsetDataset(base, Empty(), extra_rate=4)) == len(base)
+    assert len(MixedSubsetDataset(base, Empty(), extra_rate=2)) == len(base)
 
 
 def test_sfrn_lr10_limits_bias_pick(tmp_path, monkeypatch):

@@ -235,6 +235,37 @@ def test_loader_multiworker_deterministic(tmp_path):
     assert any(not np.array_equal(x, y) for x, y in zip(a, c))
 
 
+def test_loader_more_workers_than_prefetch_no_deadlock():
+    """num_workers > prefetch with jittered item latency must drain the whole
+    epoch (regression: semaphore backpressure let out-of-order completions
+    tie up every permit while the worker owning the next-needed batch parked
+    on acquire — a permanent hang; the condition-based lead bound cannot
+    starve the owner of batch `yielded`)."""
+    import time as _time
+
+    class Jitter:
+        def __len__(self):
+            return 40
+
+        def __getitem__(self, i):
+            _time.sleep(0.001 * ((i * 7) % 5))  # deterministic jitter
+            return {"hr": np.full((1, 4, 4, 4), i, np.float32)}
+
+    done = {}
+
+    def run():
+        loader = DataLoader(Jitter(), batch_size=2, num_workers=6,
+                            prefetch=2, shuffle=False)
+        done["batches"] = [b["hr"][0, 0, 0, 0] for b in loader]
+
+    import threading
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout=30)
+    assert not th.is_alive(), "loader deadlocked with num_workers > prefetch"
+    assert done["batches"] == [float(2 * i) for i in range(20)]  # in order
+
+
 def test_loader_worker_exception_propagates(tmp_path):
     """An exception inside __getitem__ surfaces in the consumer instead of
     hanging the poll loop."""
