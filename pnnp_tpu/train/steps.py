@@ -92,20 +92,41 @@ def make_raw_synth_packed(camera_type: str, noise_code: str, ori: bool, clip: bo
 
 
 def make_proxy_synth(sample_fn: Callable, ori: bool = False,
-                     ratio_range=(100.0, 300.0)):
+                     ratio_range=(100.0, 300.0), ratio_ladder=None,
+                     iso_from_batch: bool = False):
     """Noise from a learned proxy: ``sample_fn(rng, clean, iso) -> noise``.
 
-    ratio ~ U(ratio_range); iso uniformly from the legal-ISO ladder
-    (reference: trainer_SID.py:463-472).
+    Two reference sampling laws:
+
+    * Sony (trainer_SID.py:463-472): per-example ``ratio ~ U(ratio_range)``
+      and ONE ISO per batch drawn uniformly from the Sony legal-ISO ladder.
+    * IMX686 (trainer_LRID.py:419-427): ONE *discrete* ratio per batch drawn
+      uniformly from ``ratio_ladder`` (the LRID dgain ladder [1,2,4,8,16])
+      and ISO taken from the batch's own dataset ISO (``data['ISO'][0]`` —
+      the proxy is conditioned on the ISO it was calibrated at, e.g. 6400,
+      not on a foreign camera's ISO ladder).
+
+    Pass ``ratio_ladder``/``iso_from_batch`` for the IMX686 law; defaults
+    give the Sony law.
     """
+    ladder = (None if ratio_ladder is None
+              else jnp.asarray(ratio_ladder, jnp.float32))
 
     def synth(key, batch):
         hr = batch["hr"]
         n = hr.shape[0]
         k1, k2, k3 = jax.random.split(key, 3)
-        ratio = jax.random.uniform(k1, (n,), minval=ratio_range[0], maxval=ratio_range[1])
-        iso_idx = jax.random.randint(k2, (), 0, len(LEGAL_ISO))
-        iso = jnp.asarray(LEGAL_ISO)[iso_idx]
+        if ladder is not None:
+            ridx = jax.random.randint(k1, (), 0, len(ladder))
+            ratio = jnp.full((n,), ladder[ridx])
+        else:
+            ratio = jax.random.uniform(k1, (n,), minval=ratio_range[0],
+                                       maxval=ratio_range[1])
+        if iso_from_batch:
+            iso = jnp.asarray(batch["iso"], jnp.float32).reshape(-1)[0]
+        else:
+            iso_idx = jax.random.randint(k2, (), 0, len(LEGAL_ISO))
+            iso = jnp.asarray(LEGAL_ISO)[iso_idx]
         rb = ratio.reshape(-1, 1, 1, 1)
         noise = sample_fn(k3, hr / rb, iso)
         # ori=True keeps lr at the dark (unamplified) exposure, consistent

@@ -269,8 +269,18 @@ class Trainer:
                 return proxy.apply(proxy_vars, clean, iso, rngs={"sample": rng},
                                    mode="sample")
 
-            rng_range = (100.0, 300.0) if cam == "SonyA7S2" else (1.0, 16.0)
-            synth = make_proxy_synth(sample_fn, ori=ori, ratio_range=rng_range)
+            if name.startswith("IMX686"):
+                # IMX686 law (reference trainer_LRID.py:419-427): one
+                # discrete dgain per batch from the LRID ladder, ISO from the
+                # batch's own dataset ISO (the proxy's calibration point)
+                synth = make_proxy_synth(sample_fn, ori=ori,
+                                         ratio_ladder=(1, 2, 4, 8, 16),
+                                         iso_from_batch=True)
+            else:
+                # Sony law (reference trainer_SID.py:463-472): per-example
+                # ratio ~ U(100, 300), one legal-ladder ISO per batch
+                synth = make_proxy_synth(sample_fn, ori=ori,
+                                         ratio_range=(100.0, 300.0))
             return pack_synth(synth) if self._use_packed else synth
         if name in ("Mix_Dataset", "IMX686_Mix_Dataset"):
             command = command or "augv5"

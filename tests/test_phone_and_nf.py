@@ -163,6 +163,51 @@ def test_proxy_trainer_smoke(tmp_path, monkeypatch):
     assert np.isfinite(np.asarray(noise)).all()
 
 
+def test_imx686_proxy_dispatch_uses_lrid_law(tmp_path, monkeypatch):
+    """Trainer._make_synth for IMX686_NF_Syn_Dataset follows the reference's
+    LRID law (trainer_LRID.py:419-427): one discrete dgain per batch from
+    [1,2,4,8,16], proxy conditioned on the batch's own dataset ISO — not the
+    Sony U(100,300)/legal-ISO law."""
+    monkeypatch.chdir(tmp_path)
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from pnnp_tpu.trainer import Trainer
+
+    make_lrid_fixture(tmp_path)
+    dst = phone_args(tmp_path, dataset="IMX686_NF_Syn_Dataset", ori=False)
+    runfile = {
+        "mode": "train", "checkpoint": "sm", "fast_ckpt": "ck",
+        "model_name": "IMX686_proxy_dispatch", "num_workers": 0,
+        "dst": dst, "dst_train": dict(dst),
+        "arch": {"name": "UNetSeeInDark", "in_nc": 4, "out_nc": 4, "nf": 4,
+                 "res": False},
+        "arch_proxy": {"name": "pw_iso_2stage", "nf": 8, "nb": 1, "d": 32,
+                       "mode": "2stage+iso"},
+        "hyper": {"lr_scheduler": "fixed", "learning_rate": 1e-3,
+                  "batch_size": 2, "stop_epoch": 1, "save_freq": 1,
+                  "plot_freq": 10**6, "last_epoch": 0, "best_psnr": 0},
+    }
+    with open(tmp_path / "run.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+    t = Trainer(str(tmp_path / "run.yml"), mode="train", nofig=True, debug=True)
+    synth = t._make_synth()
+    batch = {
+        "hr": jnp.asarray(
+            np.random.default_rng(0).uniform(0, 0.2, (4, 8, 8, 4)).astype(np.float32)),
+        "iso": jnp.full((4,), 6400.0),
+    }
+    support = set()
+    for i in range(48):
+        lr, hr, ratio = synth(jax.random.key(i), batch)
+        r = np.asarray(ratio)
+        assert len(np.unique(r)) == 1
+        support.add(float(r[0]))
+        assert np.isfinite(np.asarray(lr)).all()
+    assert support == {1.0, 2.0, 4.0, 8.0, 16.0}, support
+
+
 def test_imx686_mix_bias_paste(tmp_path):
     """'HB' command: 1-in-5 items paste a real bias frame as lr with
     black_lr=1 crops, dgain pinned to 20 (reference: phone_datasets.py:586-640)."""

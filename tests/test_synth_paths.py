@@ -85,6 +85,51 @@ def test_proxy_synth_via_train_step(rng):
     assert r.min() >= 100 and r.max() <= 300
 
 
+def test_proxy_synth_sampling_laws(rng):
+    """The two reference proxy sampling laws (VERDICT r2 #2):
+    Sony (trainer_SID.py:463-472) — per-example ratio ~ U(100,300), one
+    legal-ladder ISO per batch; IMX686 (trainer_LRID.py:419-427) — ONE
+    discrete dgain per batch from [1,2,4,8,16] and ISO from the batch's own
+    dataset ISO, NOT the Sony ladder."""
+    from pnnp_tpu.physics.calibration import LEGAL_ISO
+
+    seen = {}
+
+    def sample_fn(rng_, clean, iso):
+        seen["iso"] = iso
+        return jnp.zeros_like(clean)
+
+    batch = {
+        "hr": jnp.asarray(rng.uniform(0, 0.2, (4, 8, 8, 4)).astype(np.float32)),
+        "iso": jnp.full((4,), 6400.0),
+    }
+
+    # --- IMX686 law
+    synth = make_proxy_synth(sample_fn, ratio_ladder=(1, 2, 4, 8, 16),
+                             iso_from_batch=True)
+    support = set()
+    for i in range(64):
+        _, _, ratio = synth(jax.random.key(i), batch)
+        r = np.asarray(ratio)
+        assert len(np.unique(r)) == 1, "IMX686 draws ONE dgain per batch"
+        support.add(float(r[0]))
+        assert float(np.asarray(seen["iso"])) == 6400.0, \
+            "IMX686 proxy must be conditioned on the dataset ISO"
+    assert support == {1.0, 2.0, 4.0, 8.0, 16.0}, support
+
+    # --- Sony law
+    synth = make_proxy_synth(sample_fn)
+    isos = set()
+    for i in range(32):
+        _, _, ratio = synth(jax.random.key(i), batch)
+        r = np.asarray(ratio)
+        assert r.min() >= 100 and r.max() <= 300
+        assert len(np.unique(r)) == len(r), "Sony ratio is per-example"
+        isos.add(float(np.asarray(seen["iso"])))
+    assert isos <= set(float(i) for i in LEGAL_ISO)
+    assert len(isos) > 3  # actually sweeps the ladder
+
+
 def test_sfrn_packed_synth_via_trainer_dispatch(rng, tmp_path, monkeypatch):
     """SFRN with the packed step: shot synth in packed space + s2d'd real read
     layer. With a zero GT the shot term vanishes (Poisson(0)=0), so lr must be
