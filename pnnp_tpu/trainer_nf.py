@@ -207,37 +207,49 @@ class NFTrainer:
         wp = float(self.dst.get("wp", 16383))
         bl = float(self.dst.get("bl", 512))
 
+        def to_device(batch):
+            lr_img = jnp.asarray(batch["lr"])
+            hr_img = jnp.asarray(batch["hr"])
+            ratio = jnp.asarray(batch["ratio"]).reshape(-1)
+            if "iso" in batch:
+                iso = jnp.asarray(batch["iso"]).reshape(-1)
+            else:  # datasets without per-item ISO: the dst block's value
+                default_iso = float(self.dst.get("iso") or (
+                    6400.0 if "IMX686" in str(self.dst.get("camera_type"))
+                    else 1600.0))
+                iso = jnp.full((ratio.shape[0],), default_iso)
+            return lr_img, hr_img, ratio, iso
+
+        # Fixed HELD-OUT scoring batch: epoch 0 is never a training epoch, so
+        # its first batch gives a deterministic sample the per-epoch ordering
+        # never re-shuffles. Scoring every checkpoint against the SAME batch
+        # makes the best-KLD selection an apples-to-apples comparison
+        # (reference scores each save_plot epoch against the same held-out
+        # batch shape, trainer_NF_SID.py:163-180) — unlike the last train
+        # batch, which varies per epoch.
+        loader.set_epoch(0)
+        heldout = to_device(next(iter(loader)))
+
         for epoch in range(1, stop_epoch + 1):
             self.nll_meter.reset()
             loader.set_epoch(epoch)
             t0 = time.time()
-            last_batch = None
             for batch in loader:
-                lr_img = jnp.asarray(batch["lr"])
-                hr_img = jnp.asarray(batch["hr"])
-                ratio = jnp.asarray(batch["ratio"]).reshape(-1)
-                if "iso" in batch:
-                    iso = jnp.asarray(batch["iso"]).reshape(-1)
-                else:  # datasets without per-item ISO: the dst block's value
-                    default_iso = float(self.dst.get("iso") or (
-                        6400.0 if "IMX686" in str(self.dst.get("camera_type"))
-                        else 1600.0))
-                    iso = jnp.full((ratio.shape[0],), default_iso)
+                lr_img, hr_img, ratio, iso = to_device(batch)
                 self.state, m = self.train_step(self.state, lr_img, hr_img, ratio, iso, epoch)
                 self.nll_meter.update(float(m["nll"]))
-                last_batch = (lr_img, hr_img, ratio, iso)
             log(f"Epoch {epoch}: nll/dim={self.nll_meter.avg:.4f} "
                 f"({time.time() - t0:.1f}s)", logfile=self.logfile)
-            if last_batch is not None and epoch % int(self.hyper.get("plot_freq", 10)) == 0:
-                rng, k = jax.random.split(rng)
-                kld = self.kld_check(k, *last_batch, wp=wp, bl=bl)
+            # Score EVERY saved checkpoint: `best` must never be written (or
+            # skipped) on an unscored epoch.
+            rng, k = jax.random.split(rng)
+            kld = self.kld_check(k, *heldout, wp=wp, bl=bl)
+            if epoch % int(self.hyper.get("plot_freq", 10)) == 0:
                 log(f"Epoch {epoch}: KLD fwd={float(kld['kl_fwd']):.4f} "
                     f"inv={float(kld['kl_inv']):.4f} sym={float(kld['kl_sym']):.4f}",
                     logfile=self.logfile)
-                self.ckpt.save(epoch, self.state.params, self.state.batch_stats,
-                               eval_psnr=-float(kld["kl_sym"]))
-            else:
-                self.ckpt.save(epoch, self.state.params, self.state.batch_stats)
+            self.ckpt.save(epoch, self.state.params, self.state.batch_stats,
+                           eval_psnr=-float(kld["kl_sym"]))
 
 
 def main(argv=None):

@@ -123,6 +123,57 @@ def test_nf_trainer_smoke(tmp_path, monkeypatch):
     assert os.path.exists(t.ckpt.last_path())
 
 
+def test_nf_trainer_scores_every_checkpoint(tmp_path, monkeypatch):
+    """Every saved epoch carries a held-out KLD score, and `best` is exactly
+    the min-KLD epoch (VERDICT r2 #7; reference trainer_NF_SID.py:163-180
+    scores each save epoch against the same held-out batch)."""
+    monkeypatch.chdir(tmp_path)
+    from tests.test_train_data import make_sid_fixture
+
+    make_sid_fixture(tmp_path, n_scenes=3, H=32, W=48)
+    dst = {
+        "dataset": "SID_Dataset", "dstname": "SID", "command": "",
+        "camera_type": "SonyA7S2", "noise_code": "pgrq", "patch_size": 8,
+        "H": 32, "W": 48, "crop_per_image": 2, "croptype": "random_crop",
+        "wp": 16383, "bl": 512, "ori": False, "clip": False,
+        "infos_dir": str(tmp_path / "infos"),
+    }
+    runfile = {
+        "mode": "train", "checkpoint": "saved_model/NF", "fast_ckpt": "checkpoints/NF",
+        "model_name": "TEST_NF_best", "num_workers": 0,
+        "dst": dst, "dst_train": dict(dst, mode="train"),
+        "arch": {"name": "NoiseFlow", "x_shape": [4, 8, 8],
+                 "arch": "sdn|unc|giso|unc", "flow_permutation": 1},
+        # plot_freq=2 leaves epochs 1 and 3 OFF the logging grid — they must
+        # still be scored
+        "hyper": {"lr_scheduler": "fixed", "learning_rate": 1e-3,
+                  "batch_size": 1, "stop_epoch": 3, "plot_freq": 2,
+                  "save_freq": 1, "last_epoch": 0},
+    }
+    with open(tmp_path / "nf.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+
+    from pnnp_tpu.train.checkpoint import load_checkpoint
+    from pnnp_tpu.trainer_nf import NFTrainer
+
+    t = NFTrainer(str(tmp_path / "nf.yml"), mode="train")
+    scores = {}
+    orig_save = t.ckpt.save
+
+    def spy_save(epoch, params, batch_stats=None, eval_psnr=None):
+        scores[epoch] = eval_psnr
+        return orig_save(epoch, params, batch_stats, eval_psnr=eval_psnr)
+
+    t.ckpt.save = spy_save
+    t.train()
+
+    assert set(scores) == {1, 2, 3}
+    assert all(s is not None and np.isfinite(s) for s in scores.values()), scores
+    best_meta = load_checkpoint(t.ckpt.best_path())["meta"]
+    assert best_meta["eval_psnr"] == max(scores.values())
+    assert best_meta["epoch"] == max(scores, key=scores.get)
+
+
 @pytest.mark.slow
 def test_proxy_trainer_smoke(tmp_path, monkeypatch):
     """pw_iso_2stage proxy: NLL training runs and KLD check is finite."""
