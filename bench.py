@@ -5,17 +5,26 @@ Metric is megapixels of Bayer mosaic denoised per second per chip
 (H*W*4 packed pixels count as the 2H x 2W mosaic, i.e. 4*h*w pix/frame),
 measured on the flagship UNetSeeInDark in bfloat16 at full-frame-equivalent
 tiling. Baseline: 500 Mpix/s/chip (BASELINE.md rebuild target).
+
+``python bench.py --train`` instead measures the production TRAINING step
+(packed physics synth 'pgrq' + fwd + bwd + Adam, all in the 4x4-superpixel
+layout) at the reference SID recipe shape — batch 1 x 8 crops x 512^2
+(runfiles/SonyA7S2/ELD.yml:18-22,62) — reporting ms/step. This makes the
+round-2 63 ms/step claim (and future regressions) reproducible by one
+command. Baseline: the 88 ms/step pre-packing step of round 2.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 BASELINE_MPIX_S = 500.0
+BASELINE_TRAIN_MS = 88.0  # round-2 unpacked train step at the same recipe
 
 
 def main():
@@ -72,5 +81,63 @@ def main():
     }))
 
 
+def main_train():
+    from pnnp_tpu.models import UNetSeeInDark
+    from pnnp_tpu.train import build_lr_schedule, create_train_state, make_train_step
+    from pnnp_tpu.train.steps import make_raw_synth_packed
+
+    model = UNetSeeInDark(nf=32)
+    sched = build_lr_schedule(
+        {"lr_scheduler": "fixed", "learning_rate": 1e-4, "stop_epoch": 10,
+         "last_epoch": 0})
+    synth = make_raw_synth_packed("SonyA7S2", "pgrq", ori=False, clip=False)
+    step = make_train_step(model, sched, synth, clip_mode=2, donate=False,
+                           fast="packed")
+    state = create_train_state(jax.random.key(0), model,
+                               jnp.zeros((1, 64, 64, 4)))
+    # reference SID recipe: batch_size 1 x crop_per_image 8 x 512^2 packed
+    # crops; hr pre-packed like the production loader feeds it
+    hr = (jax.random.uniform(jax.random.key(1), (8, 256, 256, 16)) * 0.02
+          ).astype(jnp.float32)
+    batch = {"hr": hr}
+
+    # Chain K steps inside one jit (lax.scan over PRNG keys, state threaded)
+    # so the per-step time excludes tunnel dispatch; the final loss sum
+    # forces a host readback (block_until_ready is unreliable through the
+    # axon tunnel).
+    K = 8
+
+    @jax.jit
+    def run(state, keys):
+        def body(st, k):
+            st, m = step(st, batch, k, 1)  # nested jit inlines under trace
+            return st, m["loss"]
+
+        return jax.lax.scan(body, state, keys)
+
+    keys = jax.random.split(jax.random.key(2), K)
+    st, losses = run(state, keys)
+    float(jnp.sum(losses))  # warmup + compile
+
+    n_iter = 8
+    dt = 1e9
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        st, losses = run(state, keys)
+        float(jnp.sum(losses))
+        dt = min(dt, (time.perf_counter() - t0) / K)
+
+    ms = dt * 1e3
+    print(json.dumps({
+        "metric": "packed_train_step",
+        "value": round(ms, 2),
+        "unit": "ms/step",
+        "vs_baseline": round(BASELINE_TRAIN_MS / ms, 3),  # >1 = faster
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        main_train()
+    else:
+        main()
