@@ -51,6 +51,27 @@ from pnnp_tpu.train import (
 from pnnp_tpu.utils.logging import AverageMeter, StepTimer, log
 
 
+def _render_sample(imgs, jpg_path, png_path):
+    """Build + save the 3-panel figure and the denoised PNG (thread-safe:
+    object-oriented matplotlib only, no pyplot state)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.image as mpimg
+        from matplotlib.figure import Figure
+    except ImportError:
+        return
+    mpimg.imsave(png_path, np.clip(imgs[1], 0.0, 1.0))
+    fig = Figure(figsize=(15, 5))
+    axes = fig.subplots(1, 3)
+    for ax, img, title in zip(axes, imgs, ("noisy", "denoised", "gt")):
+        ax.imshow(np.clip(img, 0, 1))
+        ax.set_title(title)
+        ax.axis("off")
+    fig.savefig(jpg_path, bbox_inches="tight", dpi=60)
+
+
 class Parser:
     """CLI surface of the reference BaseParser (base_trainer.py:6-17)."""
 
@@ -83,6 +104,8 @@ class Trainer:
         self.debug = debug
         self.seed = seed
         self.rng = jax.random.key(seed)
+        self._plot_pool = None  # lazy ThreadPoolExecutor for figure renders
+        self._plot_futures = []
 
         self.logfile = f"./logs/log_{self.model_name}.log"
         self.sample_dir = os.path.join(self.args.get("result_dir", "images"),
@@ -558,6 +581,7 @@ class Trainer:
         if epoch < 0:
             with open(metrics_path, "wb") as f:
                 pickle.dump(metrics, f)
+        self._drain_plots()
 
     @staticmethod
     def _sample_wb_ccm(batch):
@@ -571,25 +595,38 @@ class Trainer:
         return wb, ccm
 
     def _plot_sample(self, lr, dn, hr, batch, name, epoch):
-        """3-panel comparison via the on-device ISP (reference used rawpy +
-        matplotlib in a process pool, trainer_SID.py:273-279)."""
-        try:
-            import matplotlib
+        """3-panel comparison via the on-device ISP, rendered ASYNC.
 
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-        except ImportError:
-            return
+        The device ISP runs inline (it is jitted and fast); the matplotlib
+        figure build + JPEG encode — the slow part — is submitted to a small
+        thread pool so an LRID ratio sweep with ``save_plot`` doesn't
+        serialize ~40 renders on the eval critical path (the reference uses
+        a ProcessPoolExecutor for the same reason, trainer_SID.py:194,
+        273-279). Rendering uses the object-oriented matplotlib API (no
+        pyplot global state), which is thread-safe with the Agg canvas.
+        Also persists the reference's denoised-PNG contract
+        (visualization.py:90-91) alongside the 3-panel jpg."""
         wb, ccm = self._sample_wb_ccm(batch)
         imgs = [np.asarray(fast_isp(x, wb=wb, ccm=ccm)) for x in (lr, dn, hr)]
-        fig, axes = plt.subplots(1, 3, figsize=(15, 5))
-        for ax, img, title in zip(axes, imgs, ("noisy", "denoised", "gt")):
-            ax.imshow(np.clip(img, 0, 1))
-            ax.set_title(title)
-            ax.axis("off")
-        fig.savefig(os.path.join(self.sample_dir, f"{name}_epoch{epoch}.jpg"),
-                    bbox_inches="tight", dpi=60)
-        plt.close(fig)
+        jpg = os.path.join(self.sample_dir, f"{name}_epoch{epoch}.jpg")
+        png = os.path.join(self.sample_dir, f"{name}_denoised.png")
+        if self._plot_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._plot_pool = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="figrender")
+            self._plot_futures = []
+        self._plot_futures.append(
+            self._plot_pool.submit(_render_sample, imgs, jpg, png))
+
+    def _drain_plots(self):
+        """Block until pending figure renders finish; surface failures as
+        warnings (a broken render must not fail the eval)."""
+        futures, self._plot_futures = getattr(self, "_plot_futures", []), []
+        for f in futures:
+            err = f.exception()
+            if err is not None:
+                log(f"WARNING: figure render failed: {err!r}")
 
     # ------------------------------------------------------------------
     def test(self, out_dir: Optional[str] = None):
@@ -610,6 +647,7 @@ class Trainer:
                 self._plot_sample(jnp.clip(lr, 0, 1)[0], dn[0],
                                   jnp.asarray(batch["hr"])[0], batch, name, -1)
             log(f"[test {k + 1}/{len(loader)}] saved {name}")
+        self._drain_plots()
 
     def predict(self, raw_mosaic: np.ndarray, name: str | None = "ds",
                 patch_size: int = 512, base: int = 64):

@@ -103,4 +103,7 @@ def test_plot_sample_writes_jpg(tmp_path, monkeypatch):
     img = jnp.full((16, 24, 4), 0.3)
     t._plot_sample(img, img, img, {"wb": np.array([2, 1, 1.5, 1], np.float32)},
                    "smoke", -1)
+    t._drain_plots()  # renders are async (thread pool) since round 3
     assert os.path.exists(os.path.join(t.sample_dir, "smoke_epoch-1.jpg"))
+    # the reference's denoised-PNG contract (visualization.py:90-91)
+    assert os.path.exists(os.path.join(t.sample_dir, "smoke_denoised.png"))
