@@ -1,0 +1,141 @@
+"""Proxy acceptance across the ISO ladder (VERDICT r2 #3).
+
+Trains ONE pw_iso_2stage proxy on physics-engine dark frames spanning several
+ISOs (the engine is the ground truth the withheld upstream proxy was
+calibrated against), then reports, per ISO:
+
+  * sampled-vs-real symmetric KLD of the full noise histogram (the
+    reference's noise-model quality metric, trainer_NF_SID.py:163-180 /
+    utils/kld_div.py:163) — acceptance bar <= 0.1;
+  * a separate ROW-MARGINAL KLD: per-(row, channel) means of real vs sampled
+    noise, scoring the 2nd stage's banding model on its own;
+  * an interpolation probe at a held-out ISO never seen in training (the
+    '+iso' conditioning is the point of the design,
+    runfiles/SonyA7S2/PNNP.yml:47-59).
+
+Usage: python tools/validate_proxy.py [--steps 1200] [--d 256] [--cpu]
+Prints a table + one JSON line; paste the table into STATUS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--d", type=int, default=256)
+    ap.add_argument("--patch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--eval-frames", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true")
+    a = ap.parse_args(argv)
+
+    import jax
+
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pnnp_tpu.models import PixelWiseISOProxy
+    from pnnp_tpu.ops.kld import kl_div_norm_device
+    from pnnp_tpu.physics import calibration as calib, generate_noisy
+    from pnnp_tpu.train.state import (
+        TrainState,
+        apply_scaled_updates,
+        make_adam_direction,
+    )
+
+    TRAIN_ISOS = (800, 1600, 3200, 12800)
+    HELDOUT_ISO = 6400  # interpolation probe: inside the trained range
+    t = calib.ISO_TABLES["SonyA7S2"]
+    span = float(t["wp"] - t["bl"])
+
+    def params_at(iso, n):
+        i = int(np.where(t["iso"] == iso)[0][0])
+        rep = lambda v: jnp.full((n,), float(v))
+        return dict(
+            K=rep(t["Kmax"][i]), sigTL=rep(t["sigTL"][i]),
+            sigR=rep(t["sigR"][i]), sigGs=rep(t["sigGs"][i]),
+            bias=jnp.zeros((n, 4)), lam=rep(t["lam"][i]), q=rep(t["q"]),
+            ratio=rep(1.0), wp=rep(t["wp"]), bl=rep(t["bl"]),
+        )
+
+    def dark_frames(key, iso, n, patch):
+        return generate_noisy(key, jnp.zeros((n, patch, patch, 4)),
+                              params_at(iso, n), "pgrq", ori=True)
+
+    proxy = PixelWiseISOProxy(d=a.d, nf=16, nb=2)
+    pvars = proxy.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        jnp.zeros((1, a.patch, a.patch, 4)), jnp.full((1,), 1600.0),
+    )
+    state = TrainState.create(apply_fn=proxy.apply, params=pvars["params"],
+                              tx=make_adam_direction())
+
+    @jax.jit
+    def step(state, noise, iso):
+        def loss_fn(params):
+            return proxy.apply({"params": params}, noise, iso, mode="loss")
+
+        (nll, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return apply_scaled_updates(state, grads, 5e-4), nll
+
+    t0 = time.time()
+    key = jax.random.key(7)
+    nll = float("nan")
+    for it in range(1, a.steps + 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        iso = TRAIN_ISOS[int(jax.random.randint(k1, (), 0, len(TRAIN_ISOS)))]
+        noise = dark_frames(k2, iso, a.batch, a.patch)
+        state, nll = step(state, noise, jnp.full((a.batch,), float(iso)))
+        if it % max(a.steps // 6, 1) == 0:
+            print(f"  step {it}: nll/dim={float(nll):.4f}", file=sys.stderr)
+
+    def score(iso, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        n, p = a.eval_frames, a.patch * 2
+        real = dark_frames(k1, iso, n, p)
+        real2 = dark_frames(k3, iso, n, p)  # second real draw = KLD noise floor
+        fake = proxy.apply({"params": state.params},
+                           jnp.zeros((n, p, p, 4)), jnp.full((n,), float(iso)),
+                           rngs={"sample": k2}, mode="sample")
+        kl = lambda x, y: float(kl_div_norm_device(
+            x * span, y * span, bl=t["bl"], wp=t["wp"])["kl_sym"])
+        # row-marginal: per-(row, channel) means isolate the 2nd stage; its
+        # histograms see only n*p*4 samples, so the real-vs-real floor is the
+        # honest zero point
+        rmean = lambda v: jnp.mean(v, axis=2)
+        return (kl(real, fake), kl(real, real2),
+                kl(rmean(real), rmean(fake)), kl(rmean(real), rmean(real2)))
+
+    rows = []
+    for iso in TRAIN_ISOS + (HELDOUT_ISO,):
+        kf, kf0, kr, kr0 = score(iso, jax.random.key(1000 + iso))
+        rows.append({"iso": iso, "kld": round(kf, 4), "kld_floor": round(kf0, 4),
+                     "row_kld": round(kr, 4), "row_floor": round(kr0, 4),
+                     "heldout": iso == HELDOUT_ISO})
+
+    print(f"\npw_iso_2stage (d={a.d}) trained {a.steps} steps on ISOs "
+          f"{TRAIN_ISOS} ({time.time() - t0:.0f}s); final nll/dim={float(nll):.4f}")
+    print(f"{'ISO':>7} | {'KLD(sym)':>9} {'floor':>7} | {'row KLD':>8} {'floor':>7} | note")
+    for r in rows:
+        note = "held-out (interpolation)" if r["heldout"] else ""
+        print(f"{r['iso']:>7} | {r['kld']:>9.4f} {r['kld_floor']:>7.4f} | "
+              f"{r['row_kld']:>8.4f} {r['row_floor']:>7.4f} | {note}")
+    ok = all(r["kld"] <= 0.1 for r in rows if not r["heldout"])
+    print(json.dumps({"metric": "proxy_iso_ladder", "ok": ok, "rows": rows,
+                      "nll": round(float(nll), 4)}))
+    return rows
+
+
+if __name__ == "__main__":
+    main()
