@@ -1,0 +1,54 @@
+"""Pallas SSIM kernel parity vs the XLA/skimage-matching implementation.
+
+Runs the kernel in interpret mode on the CPU backend (the conftest forces
+CPU); on-TPU timing lives in tools/eval_fullres.py / STATUS.md.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jax.experimental.pallas as pl
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    import pnnp_tpu.kernels.ssim as mod
+
+    monkeypatch.setattr(mod.pl, "pallas_call", interp)
+    return mod
+
+
+@pytest.mark.parametrize("shape", [(70, 96, 4), (96, 131, 3), (201, 140, 4)])
+def test_ssim_kernel_matches_xla(interpret_pallas, shape):
+    """Tile clamping/masking must be exact for H not divisible by TH, odd W,
+    and C in {3, 4}."""
+    mod = interpret_pallas
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+    y = jnp.clip(x + rng.normal(0, 12, shape).astype(np.float32), 0, 255)
+
+    from pnnp_tpu.ops.metrics import ssim as ssim_xla
+
+    ref = float(ssim_xla(x, y))
+    got = float(mod.ssim_kernel(x, y))
+    assert abs(ref - got) < 1e-4, (ref, got)
+
+
+def test_ssim_fast_fallback_small_and_cpu():
+    """Off-TPU (and tiny crops) ssim_fast must route to the XLA path and
+    agree with it bit-for-bit."""
+    from pnnp_tpu.kernels.ssim import ssim_fast
+    from pnnp_tpu.ops.metrics import ssim as ssim_xla
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 255, (32, 40, 4)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0, 255, (32, 40, 4)).astype(np.float32))
+    assert float(ssim_fast(x, y)) == float(ssim_xla(x, y))
