@@ -140,3 +140,29 @@ def ssim_fast(x: jnp.ndarray, y: jnp.ndarray,
     if jax.default_backend() != "tpu" or H < TH + WIN - 1:
         return ssim_xla(x, y, data_range=data_range)
     return ssim_kernel(x, y, data_range=data_range)
+
+
+def packed_to_banded(g: jnp.ndarray) -> jnp.ndarray:
+    """4x4-superpixel packed [h2, w2, 16] -> channel-banded [4*H, W] (the
+    SSIM kernel's input layout; H = 2*h2, W = 2*w2).
+
+    Packed channel (2a+b)*4+c at (i, j) is unpacked pixel (c, 2i+a, 2j+b)
+    (layout contract of models/unet_s2d.s2d over RGGB-packed frames)."""
+    h2, w2, c16 = g.shape
+    assert c16 == 16, g.shape
+    t = g.reshape(h2, w2, 2, 2, 4).transpose(4, 0, 2, 1, 3)  # [4,h2,2,w2,2]
+    return t.reshape(4 * 2 * h2, 2 * w2)
+
+
+def ssim_banded(xf: jnp.ndarray, yf: jnp.ndarray, C: int = 4,
+                data_range: float = 255.0) -> jnp.ndarray:
+    """Mean SSIM from channel-banded [C*H, W] inputs; Pallas on TPU, XLA
+    fallback (un-band + stacked-separable path) elsewhere."""
+    H = xf.shape[0] // C
+    if jax.default_backend() == "tpu" and H >= TH + WIN - 1:
+        return _ssim_bands(xf.astype(jnp.float32), yf.astype(jnp.float32), C,
+                           data_range=data_range)
+    from pnnp_tpu.ops.metrics import ssim as ssim_xla
+
+    unband = lambda t: t.reshape(C, H, -1).transpose(1, 2, 0)
+    return ssim_xla(unband(xf), unband(yf), data_range=data_range)

@@ -10,6 +10,7 @@ from pnnp_tpu.train.schedules import cosine_warm_restart, multistep, build_lr_sc
 from pnnp_tpu.train.state import TrainState, create_train_state, apply_scaled_updates
 from pnnp_tpu.train.steps import (
     make_train_step,
+    make_eval_metrics_step,
     make_eval_step,
     make_raw_synth,
     make_raw_synth_packed,

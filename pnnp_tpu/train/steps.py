@@ -328,6 +328,81 @@ def pad_to_multiple(x: jnp.ndarray, mult: int = 16):
     return x, (H, W)
 
 
+def make_eval_metrics_step(model, use_wino: bool = False):
+    """Fused full-frame eval: forward + ALL metrics in ONE jit, layout-aware.
+
+    The reference computes eval metrics on CPU via skimage
+    (trainer_SID.py:242-248); the round-2 rebuild moved them on-device but
+    left them in the natural ``[H, W, 4]`` layout — which XLA tiles with the
+    4-channel axis on the 128 lanes, so every materialized tensor costs 32x
+    its logical bytes in HBM traffic (measured: the metric stage costs ~2x
+    the UNet forward at full frame). This step never materializes a 4-lane
+    tensor: the forward runs packed, the permutation-invariant stages (clip,
+    illuminance correction, PSNR) run on lane-dense flattened views, and
+    SSIM runs on channel-banded ``[4H, W]`` planes through the Pallas
+    tiled-reduction kernel (XLA fallback off-TPU).
+
+    step(tparams, lr, hr, ratio) -> (dn_packed, metrics dict with
+    psnr/ssim/psnr_in/ssim_in). ``lr``/``hr`` are ``[1, H, W, 4]`` RGGB
+    frames (H, W % 16 == 0 after the caller's reflect pad), or already
+    packed ``[1, H/2, W/2, 16]``. Reference eval semantics
+    (trainer_SID.py:221-248): ori amplification, clip, correct dn against
+    hr, score at data_range 255.
+    """
+    from pnnp_tpu.kernels.ssim import packed_to_banded, ssim_banded
+    from pnnp_tpu.models.unet_s2d import (
+        s2d,
+        unet_hybrid_forward_packed,
+        unet_wino_forward_packed,
+    )
+
+    fwd = unet_wino_forward_packed if use_wino else unet_hybrid_forward_packed
+    res = bool(getattr(model, "res", False))
+
+    def step(tparams, lr, hr, ratio, *, ori=False, correct=True,
+             with_inputs=False):
+        g1 = lr if lr.shape[-1] == 16 else s2d(lr)
+        hrp = hr if hr.shape[-1] == 16 else s2d(hr)
+        dnp = fwd(tparams, g1, g1 if res else None).astype(jnp.float32)
+        g1 = g1.astype(jnp.float32)
+        if ori:
+            r = jnp.asarray(ratio, jnp.float32).reshape(())
+            g1 = g1 * r
+            dnp = dnp * r
+
+        flat = lambda t: t.reshape(t.shape[-3], -1)  # [h2, w2*16] lane-dense
+        dnf = jnp.clip(flat(dnp[0]), 0.0, 1.0)
+        lrf = jnp.clip(flat(g1[0]), 0.0, 1.0)
+        hrf = flat(hrp[0].astype(jnp.float32))
+        hrc = jnp.clip(hrf, 0.0, 1.0)
+        scale = jnp.float32(1.0)
+        if correct:
+            w = (hrf != 1.0).astype(jnp.float32)
+            num = jnp.sum(dnf * hrf * w)
+            den = jnp.sum(dnf * dnf * w)
+            scale = jnp.where(den > 0, num / jnp.maximum(den, 1e-20), 1.0)
+            dnf = scale * dnf
+
+        def psnr_of(a, b):
+            mse = jnp.mean((a * 255.0 - b * 255.0) ** 2)
+            return 10.0 * jnp.log10(255.0**2 / jnp.maximum(mse, 1e-12))
+
+        h2 = dnp.shape[-3]
+        band = lambda f: packed_to_banded(f.reshape(h2, -1, 16)) * 255.0
+        hrb = band(hrc)
+        metrics = {
+            "psnr": psnr_of(dnf, hrc),
+            "ssim": ssim_banded(band(dnf), hrb),
+        }
+        if with_inputs:  # the save_plot meters (trainer_SID.py:291-297)
+            metrics["psnr_in"] = psnr_of(lrf, hrc)
+            metrics["ssim_in"] = ssim_banded(band(lrf), hrb)
+        # corrected, clipped packed frame — what the reference plots/saves
+        return scale * jnp.clip(dnp, 0.0, 1.0), metrics
+
+    return jax.jit(step, static_argnames=("ori", "correct", "with_inputs"))
+
+
 def make_eval_step(model, fast: bool = False):
     """eval_step(state, lr_img) -> denoised, with %16 reflect padding.
 

@@ -40,6 +40,7 @@ from pnnp_tpu.train import (
     create_train_state,
     identity_synth,
     load_any,
+    make_eval_metrics_step,
     make_eval_step,
     make_mix_synth,
     make_proxy_synth,
@@ -189,6 +190,16 @@ class Trainer:
         if self.n_data > 1:
             self.train_step = make_sharded_train_step(self.mesh, self.train_step)
         self.eval_step = make_eval_step(self.model, fast=use_fast)
+        # Single-device full-frame eval fuses forward + clip + illuminance
+        # correct + PSNR/SSIM into ONE layout-aware jit (flat lane-dense
+        # views, channel-banded Pallas SSIM): the unfused [H, W, 4] metric
+        # stage costs ~2x the UNet forward in padded-lane HBM traffic.
+        self._fused_eval = (
+            make_eval_metrics_step(self.model) if use_fast
+            and self.mesh_spatial is None
+            and not self.args.get("disable_fused_eval", False) else None
+        )
+        self._fused_tp_cache = {"params": None, "tp": None}
         self._place_state()
 
         # --- meters --------------------------------------------------------
@@ -377,6 +388,17 @@ class Trainer:
             }
         return shard_batch(self.mesh, batch, batch_dim_size=n + pad)
 
+    def _fused_tp(self):
+        """Transformed weights for the fused eval step, cached by param-tree
+        identity (same contract as make_eval_step's cache)."""
+        c = self._fused_tp_cache
+        if c["params"] is not self.state.params:
+            from pnnp_tpu.models.unet_s2d import transform_params_hybrid
+
+            c["params"] = self.state.params
+            c["tp"] = jax.jit(transform_params_hybrid)(self.state.params)
+        return c["tp"]
+
     def _forward_full(self, lr):
         """Full-frame denoise: width-sharded with halo exchange over the
         spatial mesh when >1 device, single-device eval step otherwise."""
@@ -524,20 +546,40 @@ class Trainer:
             ratio = jnp.asarray(batch["ratio"]).reshape(-1, 1, 1, 1)
             name = batch["name"][0] if isinstance(batch["name"], list) else batch["name"]
 
-            dn = self._forward_full(lr)
-            if ori:
-                lr = lr * ratio
-                dn = dn * ratio
-            lr = jnp.clip(lr, 0, 1)
-            dn = jnp.clip(dn, 0, 1)
-            if brightness_correct and epoch < 0:
-                dn = illuminance_correct(dn, hr)
+            fused = self._fused_eval is not None and not self.rgb_metrics
+            if fused:
+                from pnnp_tpu.models.unet_s2d import d2s
+                from pnnp_tpu.train.steps import pad_to_multiple
 
-            out255 = dn[0] * 255.0
-            tgt255 = jnp.clip(hr[0], 0, 1) * 255.0
-            in255 = lr[0] * 255.0
-            p = float(psnr_fn(out255, tgt255))
-            s = float(ssim_fn(out255, tgt255))
+                lr16, (Hf, Wf) = pad_to_multiple(lr, 16)
+                hr16, _ = pad_to_multiple(hr, 16)
+                dnp, m = self._fused_eval(
+                    self._fused_tp(), lr16, hr16,
+                    jnp.asarray(batch["ratio"]).reshape(-1)[0],
+                    ori=ori, correct=bool(brightness_correct and epoch < 0),
+                    with_inputs=self.save_plot,
+                )
+                p, s = float(m["psnr"]), float(m["ssim"])
+                p_in_f = float(m.get("psnr_in", 0.0))
+                s_in_f = float(m.get("ssim_in", 0.0))
+                if self.save_plot and epoch < 0:
+                    dn = d2s(dnp)[:, :Hf, :Wf, :]
+                    lr = jnp.clip(lr * ratio if ori else lr, 0, 1)
+            else:
+                dn = self._forward_full(lr)
+                if ori:
+                    lr = lr * ratio
+                    dn = dn * ratio
+                lr = jnp.clip(lr, 0, 1)
+                dn = jnp.clip(dn, 0, 1)
+                if brightness_correct and epoch < 0:
+                    dn = illuminance_correct(dn, hr)
+
+                out255 = dn[0] * 255.0
+                tgt255 = jnp.clip(hr[0], 0, 1) * 255.0
+                in255 = lr[0] * 255.0
+                p = float(psnr_fn(out255, tgt255))
+                s = float(ssim_fn(out255, tgt255))
             self.eval_psnr.update(p)
             self.eval_ssim.update(s)
             metrics[name] = [p, s]
@@ -558,6 +600,9 @@ class Trainer:
                     p_dn, s_dn = float(p_dn), float(s_dn)
                     if epoch < 0:
                         metrics[name] = [p_dn, s_dn]
+                elif fused:
+                    p_in, s_in = p_in_f, s_in_f
+                    p_dn, s_dn = p, s
                 else:
                     p_in = float(psnr_fn(in255, tgt255))
                     s_in = float(ssim_fn(in255, tgt255))
