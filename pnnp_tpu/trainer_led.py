@@ -18,8 +18,10 @@ from pnnp_tpu.trainer import Trainer, eval_sweep
 class LEDTrainer(Trainer):
     def __init__(self, runfile: str, mode: Optional[str] = "eval", **kw):
         super().__init__(runfile, mode=mode, **kw)
-        # identity "network": bypass the model entirely
+        # identity "network": bypass the model entirely — including the
+        # fused eval step, which would run the real forward
         self.eval_step = lambda state, lr_img: jnp.asarray(lr_img)
+        self._fused_eval = None
 
 
 def main(argv=None):

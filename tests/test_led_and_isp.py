@@ -65,6 +65,9 @@ def test_led_identity_eval(tmp_path, monkeypatch):
     from pnnp_tpu.trainer_led import LEDTrainer
 
     t = LEDTrainer(str(tmp_path / "led.yml"), mode="eval", debug=True)
+    # LED must never route through the fused eval step: that would run the
+    # REAL model forward instead of the identity (regression, round 3)
+    assert t._fused_eval is None
     # the "network" is identity (reference: trainer_LED.py:111)
     probe = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 8, 8, 4)))
     np.testing.assert_array_equal(np.asarray(t.eval_step(t.state, probe)),
