@@ -333,47 +333,53 @@ def make_eval_metrics_step(model, use_wino: bool = False):
 
     The reference computes eval metrics on CPU via skimage
     (trainer_SID.py:242-248); the round-2 rebuild moved them on-device but
-    left them in the natural ``[H, W, 4]`` layout — which XLA tiles with the
-    4-channel axis on the 128 lanes, so every materialized tensor costs 32x
-    its logical bytes in HBM traffic (measured: the metric stage costs ~2x
-    the UNet forward at full frame). This step never materializes a 4-lane
-    tensor: the forward runs packed, the permutation-invariant stages (clip,
-    illuminance correction, PSNR) run on lane-dense flattened views, and
-    SSIM runs on channel-banded ``[4H, W]`` planes through the Pallas
-    tiled-reduction kernel (XLA fallback off-TPU).
+    as separate calls over ``[H, W, 4]`` tensors — a layout whose padded
+    tiling and relayouts measured ~2x the UNet forward at full frame. Here
+    the frame flows through ONE jit in cheap layouts end to end:
 
-    step(tparams, lr, hr, ratio) -> (dn_packed, metrics dict with
-    psnr/ssim/psnr_in/ssim_in). ``lr``/``hr`` are ``[1, H, W, 4]`` RGGB
-    frames (H, W % 16 == 0 after the caller's reflect pad), or already
-    packed ``[1, H/2, W/2, 16]``. Reference eval semantics
+      * inputs arrive channel-interleaved FLAT ``[1, H, W*4]`` (a free
+        numpy reshape on the host side — [1, H, W, 4] is also accepted);
+      * %16 reflect pad + s2d fuse into the packed forward's input relayout;
+      * the denoised frame comes back as ONE fused d2s+crop+flatten;
+      * clip / illuminance correction / PSNR are sums over the flat views;
+      * SSIM runs through the Pallas tiled-reduction kernel directly on the
+        flat layout (lane rolls of C — no transposes; XLA fallback off-TPU).
+
+    step(tparams, lr, hr, ratio) -> (dn_flat [1, H, W*4] corrected+clipped,
+    metrics dict with psnr/ssim[/psnr_in/ssim_in]). Reference eval semantics
     (trainer_SID.py:221-248): ori amplification, clip, correct dn against
     hr, score at data_range 255.
     """
-    from pnnp_tpu.kernels.ssim import packed_to_banded, ssim_banded
-    from pnnp_tpu.models.unet_s2d import (
-        s2d,
-        unet_hybrid_forward_packed,
-        unet_wino_forward_packed,
-    )
+    from pnnp_tpu.kernels.ssim import ssim_flat
+    from pnnp_tpu.models.unet_s2d import d2s, s2d, unet_wino_forward_packed
+    from pnnp_tpu.models.unet_s2d import unet_hybrid_forward_packed
 
     fwd = unet_wino_forward_packed if use_wino else unet_hybrid_forward_packed
     res = bool(getattr(model, "res", False))
 
     def step(tparams, lr, hr, ratio, *, ori=False, correct=True,
              with_inputs=False):
-        g1 = lr if lr.shape[-1] == 16 else s2d(lr)
-        hrp = hr if hr.shape[-1] == 16 else s2d(hr)
-        dnp = fwd(tparams, g1, g1 if res else None).astype(jnp.float32)
-        g1 = g1.astype(jnp.float32)
+        if lr.ndim == 3:  # flat [1, H, W*4] -> logical 4-channel view
+            lr = lr.reshape(1, lr.shape[1], -1, 4)
+        if hr.ndim == 3:
+            hr = hr.reshape(1, hr.shape[1], -1, 4)
+        H, W = lr.shape[1], lr.shape[2]
+        x, _ = pad_to_multiple(lr, 16)
+        g1 = s2d(x)
+        dnp = fwd(tparams, g1, g1 if res else None)
+        # one fused transpose: packed -> unpacked -> crop -> flat f32
+        dn = d2s(dnp)[:, :H, :W, :].astype(jnp.float32)
+
+        flat = lambda t: t.reshape(t.shape[-3], -1)  # [H, W*4] dense view
+        dnf = flat(dn[0])
+        lrf = flat(lr[0].astype(jnp.float32))
         if ori:
             r = jnp.asarray(ratio, jnp.float32).reshape(())
-            g1 = g1 * r
-            dnp = dnp * r
-
-        flat = lambda t: t.reshape(t.shape[-3], -1)  # [h2, w2*16] lane-dense
-        dnf = jnp.clip(flat(dnp[0]), 0.0, 1.0)
-        lrf = jnp.clip(flat(g1[0]), 0.0, 1.0)
-        hrf = flat(hrp[0].astype(jnp.float32))
+            dnf = dnf * r
+            lrf = lrf * r
+        dnf = jnp.clip(dnf, 0.0, 1.0)
+        lrf = jnp.clip(lrf, 0.0, 1.0)
+        hrf = flat(hr[0].astype(jnp.float32))
         hrc = jnp.clip(hrf, 0.0, 1.0)
         scale = jnp.float32(1.0)
         if correct:
@@ -387,18 +393,15 @@ def make_eval_metrics_step(model, use_wino: bool = False):
             mse = jnp.mean((a * 255.0 - b * 255.0) ** 2)
             return 10.0 * jnp.log10(255.0**2 / jnp.maximum(mse, 1e-12))
 
-        h2 = dnp.shape[-3]
-        band = lambda f: packed_to_banded(f.reshape(h2, -1, 16)) * 255.0
-        hrb = band(hrc)
         metrics = {
             "psnr": psnr_of(dnf, hrc),
-            "ssim": ssim_banded(band(dnf), hrb),
+            "ssim": ssim_flat(dnf * 255.0, hrc * 255.0),
         }
         if with_inputs:  # the save_plot meters (trainer_SID.py:291-297)
             metrics["psnr_in"] = psnr_of(lrf, hrc)
-            metrics["ssim_in"] = ssim_banded(band(lrf), hrb)
-        # corrected, clipped packed frame — what the reference plots/saves
-        return scale * jnp.clip(dnp, 0.0, 1.0), metrics
+            metrics["ssim_in"] = ssim_flat(lrf * 255.0, hrc * 255.0)
+        # corrected, clipped flat frame — what the reference plots/saves
+        return dnf[None], metrics
 
     return jax.jit(step, static_argnames=("ori", "correct", "with_inputs"))
 

@@ -548,13 +548,10 @@ class Trainer:
 
             fused = self._fused_eval is not None and not self.rgb_metrics
             if fused:
-                from pnnp_tpu.models.unet_s2d import d2s
-                from pnnp_tpu.train.steps import pad_to_multiple
-
-                lr16, (Hf, Wf) = pad_to_multiple(lr, 16)
-                hr16, _ = pad_to_multiple(hr, 16)
-                dnp, m = self._fused_eval(
-                    self._fused_tp(), lr16, hr16,
+                # the fused step pads/packs internally and returns the
+                # corrected frame channel-interleaved flat [1, H, W*4]
+                dnf, m = self._fused_eval(
+                    self._fused_tp(), lr, hr,
                     jnp.asarray(batch["ratio"]).reshape(-1)[0],
                     ori=ori, correct=bool(brightness_correct and epoch < 0),
                     with_inputs=self.save_plot,
@@ -563,7 +560,7 @@ class Trainer:
                 p_in_f = float(m.get("psnr_in", 0.0))
                 s_in_f = float(m.get("ssim_in", 0.0))
                 if self.save_plot and epoch < 0:
-                    dn = d2s(dnp)[:, :Hf, :Wf, :]
+                    dn = dnf.reshape(1, lr.shape[1], lr.shape[2], 4)
                     lr = jnp.clip(lr * ratio if ori else lr, 0, 1)
             else:
                 dn = self._forward_full(lr)

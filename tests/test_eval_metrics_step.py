@@ -54,11 +54,9 @@ def test_fused_eval_metrics_matches_unfused(ori, correct):
     assert abs(float(m["psnr_in"]) - p_in_ref) < 5e-3
     assert abs(float(m["ssim_in"]) - s_in_ref) < 1e-4
 
-    # the returned packed frame is the corrected, clipped image
-    from pnnp_tpu.models.unet_s2d import d2s
-
-    np.testing.assert_allclose(np.asarray(d2s(dnp)), np.asarray(dn),
-                               rtol=1e-4, atol=1e-5)
+    # the returned flat frame is the corrected, clipped image
+    np.testing.assert_allclose(np.asarray(dnp).reshape(dn.shape),
+                               np.asarray(dn), rtol=1e-4, atol=1e-5)
 
 
 def test_trainer_eval_fused_matches_sharded_path(tmp_path, monkeypatch):

@@ -42,6 +42,24 @@ def test_ssim_kernel_matches_xla(interpret_pallas, shape):
     assert abs(ref - got) < 1e-4, (ref, got)
 
 
+@pytest.mark.parametrize("shape", [(70, 96, 4), (96, 131, 3), (201, 140, 4)])
+def test_ssim_flat_kernel_matches_xla(interpret_pallas, shape):
+    """The channel-INTERLEAVED flat variant (production layout: [H, W*C],
+    lane rolls of C) must agree with the XLA path on the same frames."""
+    mod = interpret_pallas
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+    y = jnp.clip(x + rng.normal(0, 12, shape).astype(np.float32), 0, 255)
+
+    from pnnp_tpu.ops.metrics import ssim as ssim_xla
+
+    H, W, C = shape
+    ref = float(ssim_xla(x, y))
+    got = float(mod._ssim_flat_kernel(x.reshape(H, W * C),
+                                      y.reshape(H, W * C), C))
+    assert abs(ref - got) < 1e-4, (ref, got)
+
+
 def test_ssim_fast_fallback_small_and_cpu():
     """Off-TPU (and tiny crops) ssim_fast must route to the XLA path and
     agree with it bit-for-bit."""
