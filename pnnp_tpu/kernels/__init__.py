@@ -35,10 +35,28 @@ post-mortems matter more than the code; both are preserved in git history.
    (-1.4 ms) — XLA-level rewrites that shed glue and structural-zero work
    rather than re-scheduling the MACs.
 
+3. **Winograd F(2x2,3x3) tail/head** (round 3, removed at this commit):
+   the four [3,3,~128,128] dense-s2d convs as F(2x2,3x3) — 2.25x fewer
+   multiplies as [532,128]@[128,128] MXU matmuls, with the stride-2 tiling
+   made stride-free by pre-splitting the padded input into even/odd column
+   planes (no lane slices, no strided access in-kernel; the whole decoder
+   tail chained in parity-split space). Exact (interpret-mode parity incl.
+   the full packed forward). Measured on v5e (2026-08-17): serving A/B
+   hybrid 21.09 ms/frame vs wino 30.08; diagnosis isolated the loss — the
+   bare kernel only TIES the XLA direct conv (5.06 vs 5.44 ms isolated;
+   the 2.25x multiply cut is eaten by VPU transform/issue overhead at the
+   [532,128] tile shape), while the mandatory XLA parity-split glue costs
+   a full conv per round trip (pad_split+interleave: 4.89 ms — on this
+   machine ANY stride-2/transpose relayout of a full-frame tensor costs
+   5-10 ms, see the round-3 layout study in STATUS.md). Code in git
+   history (commit b900371); the shared _fold_conv91 refactor survives.
+
 Net lesson for this workload: with both GEMM dims 128-aligned (the whole
 point of the s2d representation), XLA's conv scheduling is already at the
-machine's effective roofline; hand kernels only pay off where the
-representation itself can't be fixed. The host-side C++ packer
-(native/rawproc.cpp) and the packed-layout pipeline are where the
-non-compiler wins live.
+machine's effective roofline; hand kernels pay off only when they change
+the MEMORY TRAFFIC, not the MAC schedule — ssim.py (this package) wins
+exactly that way: a reduction kernel that replaces ~15 relayout-prone
+full-frame passes with a read-once tiled reduction. The host-side C++
+packer (native/rawproc.cpp) and the packed-layout pipeline remain the
+other non-compiler wins.
 """

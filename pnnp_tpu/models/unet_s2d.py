@@ -409,101 +409,6 @@ def unet_hybrid_forward_packed(tparams: dict, g1: jnp.ndarray,
     return out
 
 
-# ---------------------------------------------------------------------------
-# Winograd serving path: the four 128-channel dense-s2d convs (conv1_2,
-# conv9_1 up+skip, conv9_2) via the Pallas F(2x2,3x3) kernel
-# (pnnp_tpu/kernels/wino.py) — 2.25x fewer multiplies as [Wt,C]@[C,D] MXU
-# matmuls. The tail chain stays in parity-split planes end to end; the only
-# interleaves are the 32-channel p1 and the 16-channel packed output.
-# ---------------------------------------------------------------------------
-
-
-def transform_params_wino(params: dict, dtype: Any = jnp.bfloat16) -> dict:
-    """Hybrid transform + Winograd filter transforms for the serving path.
-
-    Returns the :func:`transform_params_hybrid` tree with an extra ``wino``
-    entry: U tensors (G k G^T, computed in f32) for conv1_2 / conv9_1-up /
-    conv9_1-skip / conv9_2, the ones-channel border kernel [3,3,1,4nf]
-    (upv9's bias with exact SAME borders — applied as a constant-foldable
-    XLA conv instead of a 129-channel Winograd input), and the f32 biases.
-    """
-    from pnnp_tpu.kernels.wino import wino_filter
-
-    tp = transform_params_hybrid(params, dtype)
-    k12 = transform_conv3_dense(jnp.asarray(params["conv1_2"]["kernel"], jnp.float32))
-    k92 = transform_conv3_dense(jnp.asarray(params["conv9_2"]["kernel"], jnp.float32))
-    kf, k_sk, kb_row, b91 = _fold_conv91(params)
-    tp["wino"] = {
-        "U12": wino_filter(k12).astype(dtype),
-        "b12": jnp.tile(jnp.asarray(params["conv1_2"]["bias"], jnp.float32), 4),
-        "U91u": wino_filter(kf).astype(dtype),
-        "U91s": wino_filter(k_sk).astype(dtype),
-        "k_ones": kb_row[:, :, None, :].astype(dtype),   # [3,3,1,4nf]
-        "b91": b91,
-        "U92": wino_filter(k92).astype(dtype),
-        "b92": jnp.tile(jnp.asarray(params["conv9_2"]["bias"], jnp.float32), 4),
-    }
-    return tp
-
-
-def unet_wino_forward_packed(tparams: dict, g1: jnp.ndarray,
-                             res_x: jnp.ndarray | None = None,
-                             dtype: Any = jnp.bfloat16) -> jnp.ndarray:
-    """Winograd serving forward over packed input ``[1, H/2, W/2, 16]``.
-
-    Same function as :func:`unet_hybrid_forward_packed` up to bf16/Winograd
-    rounding (parity tested in tests/test_kernels_wino.py). Requires the
-    %16-unpacked padding the eval path always applies (packed h, w % 8 == 0)
-    and batch 1 (full-frame serving; training keeps the hybrid path).
-    """
-    from pnnp_tpu.kernels.wino import (
-        interleave_cols,
-        pad_split,
-        repad_split,
-        wino_conv_split,
-    )
-
-    assert g1.shape[0] == 1, "wino serving path is per-frame (batch 1)"
-    wk = tparams["wino"]
-    k = lambda name: tparams[name]["kernel"]
-    b = lambda name: tparams[name]["bias"]
-    g = g1.astype(dtype)
-
-    c1a = _lrelu(_conv_same(g, k("conv1_1")) + b("conv1_1"))[0]
-    c1e, c1o = wino_conv_split(*pad_split(c1a), wk["U12"], wk["b12"], relu=True)
-    p1 = interleave_cols(_group_max(c1e), _group_max(c1o))[None]
-    c8 = _mid_levels(tparams, p1)[0]
-
-    # ones-channel border term: constant under jit -> folded at compile time
-    ones = jnp.ones((1,) + c8.shape[:2] + (1,), dtype)
-    oc = _conv_same(ones, wk["k_ones"])[0]
-    oce = oc[:, 0::2, :]
-    oco = oc[:, 1::2, :]
-
-    zero_b = jnp.zeros((wk["U91u"].shape[-1],), jnp.float32)
-    ue, uo = wino_conv_split(*pad_split(c8), wk["U91u"], zero_b, relu=False)
-    se_, so_ = wino_conv_split(*repad_split(c1e, c1o), wk["U91s"], zero_b,
-                               relu=False)
-    b91 = wk["b91"].astype(dtype)
-    h9e = _lrelu(ue + se_ + oce + b91)
-    h9o = _lrelu(uo + so_ + oco + b91)
-    c9e, c9o = wino_conv_split(*repad_split(h9e, h9o), wk["U92"], wk["b92"],
-                               relu=True)
-
-    kh = k("conv10_1")[0, 0]
-    bh = b("conv10_1")
-
-    def head(c9):
-        h_, w_, c4_ = c9.shape
-        out = jnp.einsum("hwgc,cd->hwgd", c9.reshape(h_, w_, 4, c4_ // 4), kh)
-        return (out + bh).reshape(h_, w_, -1)
-
-    out = interleave_cols(head(c9e), head(c9o))[None]
-    if res_x is not None:
-        out = out + res_x.astype(dtype)
-    return out
-
-
 def unet_hybrid_forward(tparams: dict, x: jnp.ndarray, res: bool = False,
                         dtype: Any = jnp.bfloat16) -> jnp.ndarray:
     """UNetSeeInDark forward with the dense-s2d level-1 fast path, HWC I/O.

@@ -328,7 +328,7 @@ def pad_to_multiple(x: jnp.ndarray, mult: int = 16):
     return x, (H, W)
 
 
-def make_eval_metrics_step(model, use_wino: bool = False):
+def make_eval_metrics_step(model):
     """Fused full-frame eval: forward + ALL metrics in ONE jit, layout-aware.
 
     The reference computes eval metrics on CPU via skimage
@@ -351,10 +351,9 @@ def make_eval_metrics_step(model, use_wino: bool = False):
     hr, score at data_range 255.
     """
     from pnnp_tpu.kernels.ssim import ssim_flat
-    from pnnp_tpu.models.unet_s2d import d2s, s2d, unet_wino_forward_packed
-    from pnnp_tpu.models.unet_s2d import unet_hybrid_forward_packed
+    from pnnp_tpu.models.unet_s2d import d2s, s2d
+    from pnnp_tpu.models.unet_s2d import unet_hybrid_forward_packed as fwd
 
-    fwd = unet_wino_forward_packed if use_wino else unet_hybrid_forward_packed
     res = bool(getattr(model, "res", False))
 
     def step(tparams, lr, hr, ratio, *, ori=False, correct=True,

@@ -9,7 +9,7 @@ dims are %16-misaligned and exercise the pad/crop path.
 Timing per CLAUDE.md: K frames chained inside one jit (lax.map) with a final
 host readback — isolated timings through the axon tunnel lie.
 
-Usage: python tools/eval_fullres.py [--wino]  ->  one JSON line per shape.
+Usage: python tools/eval_fullres.py  ->  one JSON line per shape.
 """
 
 from __future__ import annotations
@@ -29,25 +29,19 @@ SHAPES = [("SonyA7S2", 2848, 4256), ("IMX686", 3472, 4624)]
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--wino", action="store_true",
-                    help="route the forward through the Pallas Winograd path")
     ap.add_argument("--frames", type=int, default=4)
     a = ap.parse_args()
 
     from pnnp_tpu.models import UNetSeeInDark
-    from pnnp_tpu.models.unet_s2d import (
-        transform_params_hybrid,
-        transform_params_wino,
-    )
+    from pnnp_tpu.models.unet_s2d import transform_params_hybrid
     from pnnp_tpu.train import create_train_state
     from pnnp_tpu.train.steps import make_eval_metrics_step, pad_to_multiple
 
     model = UNetSeeInDark(nf=32)
     state = create_train_state(jax.random.key(0), model,
                                jnp.zeros((1, 64, 64, 4)))
-    transform = transform_params_wino if a.wino else transform_params_hybrid
-    tp = jax.jit(lambda p: transform(p))(state.params)
-    step = make_eval_metrics_step(model, use_wino=a.wino)
+    tp = jax.jit(lambda p: transform_params_hybrid(p))(state.params)
+    step = make_eval_metrics_step(model)
 
     for cam, H, W in SHAPES:
         h, w = H // 2, W // 2
@@ -81,7 +75,7 @@ def main():
         print(json.dumps({
             "camera": cam,
             "mosaic": f"{H}x{W}",
-            "path": "wino" if a.wino else "hybrid",
+            "path": "fused-hybrid",
             "ms_per_frame": round(dt * 1e3, 2),
             "mpix_s": round(mpix / dt, 1),
             "compile_s": round(compile_s, 1),
