@@ -33,54 +33,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 WIN = 7
-TH = 32  # banded-layout output rows per program (VMEM-bound at 64)
-TH_FLAT = 8  # flat-layout rows per program (lanes are C x wider)
+_MIN_H = 32  # below this the XLA path wins (kernel launch overhead)
 
 
-def _kernel(x_hbm, y_hbm, out_ref, xt, yt, sems, *, H, W, Wp, cs, th,
-            data_range):
+def _kernel(xm, xh, ym, yh, out_ref, *, Hv, W, Wp, cs, tc, data_range):
+    # Pipelined tile: main block (8 rows) + halo block (the NEXT 8 rows) per
+    # input — Pallas double-buffers BlockSpec operands, so HBM fetch overlaps
+    # compute and no manual DMA alignment is needed. Each program scores the
+    # 8 output rows of its main block (window rows 8t..8t+13 <= 16 loaded).
     # W = true image width in PIXELS; cs = lane stride between horizontally
     # adjacent same-channel pixels (1 for channel-banded [C*H, W] inputs,
-    # C for channel-interleaved flat [H, W*C] inputs); Wp = 128-padded lane
-    # count (Mosaic requires lane-dim slices in 128 multiples)
+    # C for channel-interleaved flat [H, W*C] inputs); Wp = 128-padded lanes.
     c = pl.program_id(0)
     t = pl.program_id(1)
-    Hv = H - (WIN - 1)          # valid output rows per channel band
     Wv = W - (WIN - 1)
-    # Mosaic requires DMA starts AND slice heights aligned to the (8, 128)
-    # tiling: align the clamped start down to 8 (requires H % 8 == 0 so
-    # c*H stays aligned) and widen the window to TH+16 rows / TH+8 compute
-    # rows so alignment slack never loses coverage; the caller bottom-pads
-    # the array by 16 rows to keep the last window in bounds.
-    s = jnp.minimum(t * th, H - (th + WIN - 1))
-    s = (s // 8) * 8
-    rs = c * H + s
+    TC = tc
 
-    dx = pltpu.make_async_copy(x_hbm.at[pl.ds(rs, th + 16), :], xt,
-                               sems.at[0])
-    dy = pltpu.make_async_copy(y_hbm.at[pl.ds(rs, th + 16), :], yt,
-                               sems.at[1])
-    dx.start()
-    dy.start()
-    dx.wait()
-    dy.wait()
-
-    x = xt[...]
-    y = yt[...]
-    TC = th + 8  # computed output rows per tile (coverage incl. align slack)
+    x = jnp.concatenate([xm[...], xh[...]], axis=0)  # [TC+8, Wp]
+    y = jnp.concatenate([ym[...], yh[...]], axis=0)
 
     def box(m):
-        # H pass: static sublane-shifted adds
-        h = m[0:TC]
-        for k in range(1, WIN):
-            h = h + m[k:TC + k]
-        # W pass: lane rolls by cs*k — one image column = cs lanes (shift
-        # Wp-cs*k == -cs*k circularly; pltpu.roll wants non-negative
-        # shifts); wrapped columns are masked out below
-        w = h
-        for k in range(1, WIN):
-            w = w + pltpu.roll(h, Wp - cs * k, 1)
-        return w
+        # H pass: pair/quad decomposition (4 adds instead of 6)
+        a = m[0:TC + 5] + m[1:TC + 6]          # taps {k, k+1}
+        b = a[0:TC + 3] + a[2:TC + 5]          # taps {k..k+3}
+        h = b[0:TC] + a[4:TC + 4] + m[6:TC + 6]  # {0..3}+{4,5}+{6}
+        # W pass: lane rolls by cs*k, same decomposition (shift Wp-cs*k ==
+        # -cs*k circularly; wrapped columns are masked out below)
+        ra = h + pltpu.roll(h, Wp - cs, 1)
+        rb = ra + pltpu.roll(ra, Wp - 2 * cs, 1)
+        return rb + pltpu.roll(ra, Wp - 4 * cs, 1) + pltpu.roll(h, Wp - 6 * cs, 1)
 
     n = float(WIN * WIN)
     cov_norm = n / (n - 1.0)
@@ -97,11 +78,11 @@ def _kernel(x_hbm, y_hbm, out_ref, xt, yt, sems, *, H, W, Wp, cs, th,
     smap = ((2.0 * ux * uy + c1) * (2.0 * vxy + c2)) / (
         (ux * ux + uy * uy + c1) * (vx + vy + c2))
 
-    # masks: global output row in [t*TH, min((t+1)*TH, Hv)); col < Wv
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TC, Wp), 0) + s
+    # masks: each tile's 8 output rows are unique; drop rows >= Hv and the
+    # wrapped/border columns
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TC, Wp), 0) + t * TC
     cols = jax.lax.broadcasted_iota(jnp.int32, (TC, Wp), 1)
-    mask = ((rows >= t * th) & (rows < jnp.minimum((t + 1) * th, Hv))
-            & (cols // cs < Wv))
+    mask = (rows < Hv) & (cols // cs < Wv)
     total = jnp.sum(jnp.where(mask, smap, 0.0))
 
     # all programs map the SAME (8, 128) output block (TPU grid programs run
@@ -115,42 +96,87 @@ def _kernel(x_hbm, y_hbm, out_ref, xt, yt, sems, *, H, W, Wp, cs, th,
     out_ref[...] = out_ref[...] + total
 
 
-@functools.partial(jax.jit, static_argnames=("C", "data_range"))
-def _ssim_bands(xf: jnp.ndarray, yf: jnp.ndarray, C: int,
-                data_range: float = 255.0) -> jnp.ndarray:
-    """Mean SSIM from channel-banded [C*H, W] f32 inputs."""
-    CH, W = xf.shape
-    H = CH // C
-    Wp = -(-W // 128) * 128
-    RT = -(-(H - (WIN - 1)) // TH)
-    grid = (C, RT)
+def _ssim_call(xf, yf, bands, Hband, Hv, W, cs, data_range, C, tc=8):
+    """Shared pallas_call: grid (bands, row-tiles of ``tc``), each program
+    reading a main (tc, Wp) block plus the NEXT 8 rows as a halo block —
+    Pallas double-buffers both, so HBM fetch overlaps compute.
+
+    ``Hband`` (the per-band row count of xf/yf) must be % tc so block
+    offsets land on band starts; callers pad bands and pass the true
+    valid-row count ``Hv`` for masking/normalization.
+
+    ``tc=8`` is measured-best AND the VMEM ceiling at full-frame lane
+    widths (~18.5k lanes): tc=16 fails Mosaic VMEM accounting, and the
+    extra halo re-read at tc=8 (2x input traffic) is hidden behind
+    compute by the double buffering — v5e sweep 2026-08-17: Sony
+    7.27 ms / IMX686 8.73 ms vs 10.6 ms for the manual-DMA TH=32 form.
+    """
+    assert tc % 8 == 0 and Hband % tc == 0, (tc, Hband)
+    Wl = xf.shape[1]
+    Wp = -(-Wl // 128) * 128
+    HB = Hband // tc
+    RT = -(-Hv // tc)
+    xp = jnp.pad(xf, ((0, tc + 8), (0, Wp - Wl)))
+    yp = jnp.pad(yf, ((0, tc + 8), (0, Wp - Wl)))
+    spec_m = pl.BlockSpec((tc, Wp), lambda c, t: (c * HB + t, 0),
+                          memory_space=pltpu.VMEM)
+    spec_h = pl.BlockSpec((8, Wp),
+                          lambda c, t: ((c * Hband + (t + 1) * tc) // 8, 0),
+                          memory_space=pltpu.VMEM)
     partials = pl.pallas_call(
-        functools.partial(_kernel, H=H, W=W, Wp=Wp, cs=1, th=TH,
+        functools.partial(_kernel, Hv=Hv, W=W, Wp=Wp, cs=cs, tc=tc,
                           data_range=float(data_range)),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        grid=(bands, RT),
+        in_specs=[spec_m, spec_h, spec_m, spec_h],
         out_specs=pl.BlockSpec((8, 128), lambda c, t: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((TH + 16, Wp), jnp.float32),
-            pltpu.VMEM((TH + 16, Wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )(jnp.pad(xf, ((0, 16), (0, Wp - W))),
-      jnp.pad(yf, ((0, 16), (0, Wp - W))))
-    Hv, Wv = H - (WIN - 1), W - (WIN - 1)
+    )(xp, xp, yp, yp)
+    Wv = W - (WIN - 1)
     return partials[0, 0] / (C * Hv * Wv)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "data_range"))
+def _ssim_bands(xf: jnp.ndarray, yf: jnp.ndarray, C: int,
+                data_range: float = 255.0) -> jnp.ndarray:
+    """Mean SSIM from channel-banded [C*H, W] f32 inputs. Bands are padded
+    to % 8 rows here so block offsets stay band-aligned for any H."""
+    CH, W = xf.shape
+    H = CH // C
+    Hp = -(-H // 8) * 8
+    if Hp != H:
+        b = xf.reshape(C, H, W)
+        pad = ((0, 0), (0, Hp - H), (0, 0))
+        xf = jnp.pad(b, pad).reshape(C * Hp, W)
+        yf = jnp.pad(yf.reshape(C, H, W), pad).reshape(C * Hp, W)
+    return _ssim_call(xf, yf, C, Hp, H - (WIN - 1), W, 1, data_range, C)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "data_range"))
+def _ssim_flat_kernel(xf: jnp.ndarray, yf: jnp.ndarray, C: int,
+                      data_range: float = 255.0) -> jnp.ndarray:
+    """Mean SSIM from channel-INTERLEAVED flat [H, W*C] f32 inputs.
+
+    This is the production layout: lane ``l`` holds pixel column ``l // C``,
+    channel ``l % C``, so a horizontal image step is a lane roll of C and the
+    7x7 box never mixes channels. Crucially, the eval pipeline produces these
+    tensors for free (``[H, W, C]`` host frames reshape to ``[H, W*C]`` as a
+    view; the network's flat output is one fused transpose), where the
+    channel-banded layout cost a ~8 ms XLA relayout per full-frame tensor.
+    """
+    H, WC = xf.shape
+    Hp = -(-H // 8) * 8
+    if Hp != H:
+        xf = jnp.pad(xf, ((0, Hp - H), (0, 0)))
+        yf = jnp.pad(yf, ((0, Hp - H), (0, 0)))
+    return _ssim_call(xf, yf, 1, Hp, H - (WIN - 1), WC // C, C,
+                      data_range, C)
 
 
 def ssim_kernel(x: jnp.ndarray, y: jnp.ndarray,
                 data_range: float = 255.0) -> jnp.ndarray:
     """skimage-compatible mean SSIM of an [H, W, C] pair via the Pallas
-    tiled reduction. Requires H >= TH + 6; use :func:`ssim_fast` for the
-    size- and backend-guarded entry point."""
+    tiled reduction; use :func:`ssim_fast` for the backend-guarded entry."""
     H, W, C = x.shape
     xf = x.astype(jnp.float32).transpose(2, 0, 1).reshape(C * H, W)
     yf = y.astype(jnp.float32).transpose(2, 0, 1).reshape(C * H, W)
@@ -164,7 +190,7 @@ def ssim_fast(x: jnp.ndarray, y: jnp.ndarray,
     from pnnp_tpu.ops.metrics import ssim as ssim_xla
 
     H = x.shape[0]
-    if jax.default_backend() != "tpu" or H < TH + WIN - 1 or H % 8:
+    if jax.default_backend() != "tpu" or H < _MIN_H:
         return ssim_xla(x, y, data_range=data_range)
     return ssim_kernel(x, y, data_range=data_range)
 
@@ -181,50 +207,12 @@ def packed_to_banded(g: jnp.ndarray) -> jnp.ndarray:
     return t.reshape(4 * 2 * h2, 2 * w2)
 
 
-@functools.partial(jax.jit, static_argnames=("C", "data_range"))
-def _ssim_flat_kernel(xf: jnp.ndarray, yf: jnp.ndarray, C: int,
-                      data_range: float = 255.0) -> jnp.ndarray:
-    """Mean SSIM from channel-INTERLEAVED flat [H, W*C] f32 inputs.
-
-    This is the production layout: lane ``l`` holds pixel column ``l // C``,
-    channel ``l % C``, so a horizontal image step is a lane roll of C and the
-    7x7 box never mixes channels. Crucially, the eval pipeline produces these
-    tensors for free (``[H, W, C]`` host frames reshape to ``[H, W*C]`` as a
-    view; the network's flat output is one fused transpose), where the
-    channel-banded layout cost a ~8 ms XLA relayout per full-frame tensor.
-    """
-    H, WC = xf.shape
-    W = WC // C
-    Wp = -(-WC // 128) * 128
-    RT = -(-(H - (WIN - 1)) // TH_FLAT)
-    partials = pl.pallas_call(
-        functools.partial(_kernel, H=H, W=W, Wp=Wp, cs=C, th=TH_FLAT,
-                          data_range=float(data_range)),
-        grid=(1, RT),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((8, 128), lambda c, t: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((TH_FLAT + 16, Wp), jnp.float32),
-            pltpu.VMEM((TH_FLAT + 16, Wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )(jnp.pad(xf, ((0, 16), (0, Wp - WC))),
-      jnp.pad(yf, ((0, 16), (0, Wp - WC))))
-    Hv, Wv = H - (WIN - 1), W - (WIN - 1)
-    return partials[0, 0] / (C * Hv * Wv)
-
-
 def ssim_flat(xf: jnp.ndarray, yf: jnp.ndarray, C: int = 4,
               data_range: float = 255.0) -> jnp.ndarray:
     """Mean SSIM from channel-interleaved flat [H, W*C] inputs; Pallas on
     TPU, XLA fallback (un-flatten + stacked-separable path) elsewhere."""
     H = xf.shape[0]
-    if jax.default_backend() == "tpu" and H >= TH + WIN - 1 and H % 8 == 0:
+    if jax.default_backend() == "tpu" and H >= _MIN_H:
         return _ssim_flat_kernel(xf.astype(jnp.float32),
                                  yf.astype(jnp.float32), C,
                                  data_range=data_range)
@@ -239,7 +227,7 @@ def ssim_banded(xf: jnp.ndarray, yf: jnp.ndarray, C: int = 4,
     """Mean SSIM from channel-banded [C*H, W] inputs; Pallas on TPU, XLA
     fallback (un-band + stacked-separable path) elsewhere."""
     H = xf.shape[0] // C
-    if jax.default_backend() == "tpu" and H >= TH + WIN - 1 and H % 8 == 0:
+    if jax.default_backend() == "tpu" and H >= _MIN_H:
         return _ssim_bands(xf.astype(jnp.float32), yf.astype(jnp.float32), C,
                            data_range=data_range)
     from pnnp_tpu.ops.metrics import ssim as ssim_xla

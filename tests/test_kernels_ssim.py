@@ -26,14 +26,27 @@ def interpret_pallas(monkeypatch):
     return mod
 
 
-@pytest.mark.parametrize("shape", [(70, 96, 4), (96, 131, 3), (201, 140, 4)])
+def _structured(shape, seed):
+    """Inputs with strong spatial structure: iid-random frames statistically
+    hide band-misalignment bugs (each band scores the same in expectation),
+    so use a vertical gradient + per-channel scale + noise."""
+    rng = np.random.default_rng(seed)
+    H, W, C = shape
+    grad = np.linspace(0, 200, H, dtype=np.float32)[:, None, None]
+    chans = (np.arange(C, dtype=np.float32) + 1.0)[None, None, :] * 20.0
+    x = np.clip(grad + chans + rng.uniform(0, 40, shape).astype(np.float32),
+                0, 255)
+    y = np.clip(x + rng.normal(0, 12, shape).astype(np.float32), 0, 255)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+@pytest.mark.parametrize("shape", [(70, 96, 4), (96, 131, 3), (201, 140, 4),
+                                   (71, 96, 4)])
 def test_ssim_kernel_matches_xla(interpret_pallas, shape):
-    """Tile clamping/masking must be exact for H not divisible by TH, odd W,
-    and C in {3, 4}."""
+    """Band alignment/masking must be exact for H % 8 != 0 (incl. the
+    H % 8 == 7 coverage edge), odd W, and C in {3, 4}."""
     mod = interpret_pallas
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
-    y = jnp.clip(x + rng.normal(0, 12, shape).astype(np.float32), 0, 255)
+    x, y = _structured(shape, 0)
 
     from pnnp_tpu.ops.metrics import ssim as ssim_xla
 
@@ -42,14 +55,12 @@ def test_ssim_kernel_matches_xla(interpret_pallas, shape):
     assert abs(ref - got) < 1e-4, (ref, got)
 
 
-@pytest.mark.parametrize("shape", [(70, 96, 4), (96, 131, 3), (201, 140, 4)])
+@pytest.mark.parametrize("shape", [(70, 96, 4), (96, 131, 3), (201, 140, 4), (71, 96, 4)])
 def test_ssim_flat_kernel_matches_xla(interpret_pallas, shape):
     """The channel-INTERLEAVED flat variant (production layout: [H, W*C],
     lane rolls of C) must agree with the XLA path on the same frames."""
     mod = interpret_pallas
-    rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
-    y = jnp.clip(x + rng.normal(0, 12, shape).astype(np.float32), 0, 255)
+    x, y = _structured(shape, 3)
 
     from pnnp_tpu.ops.metrics import ssim as ssim_xla
 
