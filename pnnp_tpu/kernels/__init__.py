@@ -51,6 +51,24 @@ post-mortems matter more than the code; both are preserved in git history.
    5-10 ms, see the round-3 layout study in STATUS.md). Code in git
    history (commit b900371); the shared _fold_conv91 refactor survives.
 
+4. **Alternating-alignment 2x2 s2d convs** (round 3, XLA-level, never
+   merged): a genuinely new representation for the dense-s2d layers — a
+   conv from standard-aligned s2d groups to HALF-PIXEL-SHIFTED groups
+   needs only a [2,2,4C,4D] kernel at 9/16 density (1.78x FLOPs, vs the
+   dense-3x3 form's 4x), the reverse direction likewise, and consecutive
+   conv PAIRS (conv1_1/conv1_2, conv9_1/conv9_2) cancel the shift — so
+   the layout change is purely semantic: no slicing, no relayout, plain
+   stride-1 NHWC convs end to end (the flaw that killed generations 1-3).
+   Measured on v5e (2026-08-17, chained-pair harness): XLA runs 2x2
+   kernels at HALF the 3x3 rate (27.6 vs 52.9 TF/s in-harness; the conv
+   emitter is tuned for odd kernels, consistent with the round-2 [2,3]-tap
+   finding), erasing the 2.25x multiply cut — 7.2 vs 8.4 ms/pair — and
+   the mandatory shifted-border zero-masks cost +2.4 ms/pair in every
+   form tried (dynamic-update-slice, fused iota-select, shifted-einsum
+   decomposition). Net: a loss. Not merged; the derivation is recorded
+   here because the representation is correct and would win on a conv
+   emitter that handles even kernels at parity.
+
 Net lesson for this workload: with both GEMM dims 128-aligned (the whole
 point of the s2d representation), XLA's conv scheduling is already at the
 machine's effective roofline; hand kernels pay off only when they change
