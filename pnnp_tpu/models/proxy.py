@@ -33,6 +33,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pnnp_tpu.ops.poisson import poisson_sample
+
 Swish = nn.swish
 
 
@@ -202,8 +204,7 @@ class PixelWiseISOProxy(nn.Module):
         K = feat[:, 0].reshape(n, 1, 1, 1)
         clean_adu = jnp.maximum(clean, 0.0) * span
         shot = (
-            jax.random.poisson(k_shot, clean_adu / jnp.maximum(K, 1e-6)).astype(jnp.float32)
-            * K
+            poisson_sample(k_shot, clean_adu / jnp.maximum(K, 1e-6)) * K
             - clean_adu
         )
         u_px = jax.random.uniform(k_px, clean.shape, minval=1e-6, maxval=1 - 1e-6)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from pnnp_tpu.config import NoiseCode
+from pnnp_tpu.ops.poisson import poisson_sample
 from pnnp_tpu.ops.tukey import tukeylambda_sample
 from pnnp_tpu.physics.sampling import params_at_iso_regression
 from pnnp_tpu.physics import calibration as calib
@@ -78,7 +79,7 @@ def _generate_noisy_core(key, y, params, noise_code, mfm, ori, clip,
 
     if use_p:
         lam_shot = jnp.maximum(MFM * y_adu / K, 0.0)
-        shot = jax.random.poisson(k_shot, lam_shot).astype(jnp.float32) * K / MFM
+        shot = poisson_sample(k_shot, lam_shot) * K / MFM
     else:
         # Gaussian stand-in for shot noise: variance y*K/MFM, consistent with
         # the Poisson branch under M-frame averaging. (The reference's unused
@@ -199,7 +200,7 @@ def sna(
     gt_adu = gt * _b(scale) / _b(ratio)
     dy = gt_adu * aug_wb[:, None, None, :]
     Kb = _b(K)
-    dn = jax.random.poisson(k_shot, jnp.maximum(dy / Kb, 0.0)).astype(jnp.float32) * Kb
+    dn = poisson_sample(k_shot, jnp.maximum(dy / Kb, 0.0)) * Kb
     # LR is a pasted black frame: remove the extra Poisson component the GT
     # already carries (reference: process.py:581). Per-example mask so mixed
     # batches (1-in-5 bias paste) stay one compiled program.
@@ -245,7 +246,7 @@ def raw_wb_aug(
     noisy_adu = noisy * _b(scale)
     dy = gt_adu * aug_wb[:, None, None, :]
     Kb = _b(K)
-    dn = jax.random.poisson(k_shot, jnp.maximum(dy / Kb, 0.0)).astype(jnp.float32) * Kb
+    dn = poisson_sample(k_shot, jnp.maximum(dy / Kb, 0.0)) * Kb
     gt_out = jnp.clip((gt_adu + dy) * _b(ratio), 0.0, _b(scale)) / _b(scale)
     noisy_out = jnp.clip(noisy_adu + dn, _b(-bl), _b(scale)) / _b(scale)
     if not ori:
