@@ -69,6 +69,22 @@ post-mortems matter more than the code; both are preserved in git history.
    here because the representation is correct and would win on a conv
    emitter that handles even kernels at parity.
 
+5. **Serving-loop floor study** (round 3, measurement only): the last
+   uncharacterized slice of the 21.1 ms frame. An identity body inside the
+   bench's lax.map loop (f32 read -> bf16 cast -> f32 write, 48 MB r+w)
+   costs 1.54-1.59 ms/frame REGARDLESS of storage layout — packed
+   [712,1064,16] (16/128 lanes) and flat [712,17024] (dense lanes) measure
+   identical, so the floor is loop structure + dispatch, not lane tiling,
+   and feeding byte-identical flat frames moves nothing (21.05 vs 21.07
+   prod A/B). Amortizing the floor by batching 2/3/4 frames per map
+   iteration is slightly WORSE (21.5/23.0/22.2 ms/frame — conv efficiency
+   at batch>1 loses more than the floor returns). Head sub-profile in the
+   same harness: conv1_2 runs at ~184 TF/s (peak); conv1_1 (+1.0 ms,
+   [3,3,16,128]) and group_max (+1.05 ms) are the only sub-peak stages,
+   bounded by the narrow-Cin input read that any first layer must pay.
+   Ceiling arithmetic: 21.1 = ~19.5 ms compute at XLA's measured dense
+   rates + ~1.5 ms loop floor; no remaining addressable component >1 ms.
+
 Net lesson for this workload: with both GEMM dims 128-aligned (the whole
 point of the s2d representation), XLA's conv scheduling is already at the
 machine's effective roofline; hand kernels pay off only when they change
