@@ -41,7 +41,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = True,
                  num_workers: int = 2, prefetch: int = 4, seed: int = 1997,
-                 drop_last: bool = False):
+                 drop_last: bool = False, transform=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,6 +50,11 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.epoch = 0
+        # Optional batch -> batch callable applied INSIDE prefetch workers
+        # (host-side relayouts like eval frame packing hide behind the
+        # previous batch's device step). Exceptions surface in the consumer
+        # like dataset exceptions do.
+        self.transform = transform
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -73,7 +78,8 @@ class DataLoader:
             if hasattr(self.dataset, "reseed_worker"):
                 self.dataset.reseed_worker(self.seed, self.epoch, 0)
             for b in batches:
-                yield collate([self.dataset[int(i)] for i in b])
+                batch = collate([self.dataset[int(i)] for i in b])
+                yield self.transform(batch) if self.transform else batch
             return
 
         # Static round-robin assignment (worker w takes batches w, w+nw, ...)
@@ -105,6 +111,8 @@ class DataLoader:
                         return
                 try:
                     batch = collate([self.dataset[int(i)] for i in batches[bi]])
+                    if self.transform is not None:
+                        batch = self.transform(batch)
                 except BaseException as e:  # surface in consumer
                     batch = e
                 with cond:

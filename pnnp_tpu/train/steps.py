@@ -339,7 +339,11 @@ def make_eval_metrics_step(model):
 
       * inputs arrive channel-interleaved FLAT ``[1, H, W*4]`` (a free
         numpy reshape on the host side — [1, H, W, 4] is also accepted);
-      * %16 reflect pad + s2d fuse into the packed forward's input relayout;
+      * %16 reflect pad + s2d fuse into the packed forward's input relayout
+        — OR the host hands ``lr`` already packed ``[1, H'/2, W'/2, 16]``
+        (:func:`pnnp_tpu.models.unet_s2d.pack_frame_np` in a prefetch
+        worker), which skips the ~7 ms on-device input relayout entirely;
+        crop dims then come from ``hr``'s (unpacked) shape;
       * the denoised frame comes back as ONE fused d2s+crop+flatten;
       * clip / illuminance correction / PSNR are sums over the flat views;
       * SSIM runs through the Pallas tiled-reduction kernel directly on the
@@ -362,22 +366,31 @@ def make_eval_metrics_step(model):
             lr = lr.reshape(1, lr.shape[1], -1, 4)
         if hr.ndim == 3:
             hr = hr.reshape(1, hr.shape[1], -1, 4)
-        H, W = lr.shape[1], lr.shape[2]
-        x, _ = pad_to_multiple(lr, 16)
-        g1 = s2d(x)
+        packed = lr.shape[-1] == 16  # host pre-packed (%16 pad + s2d)
+        if packed:
+            H, W = hr.shape[1], hr.shape[2]
+            g1 = lr
+        else:
+            H, W = lr.shape[1], lr.shape[2]
+            x, _ = pad_to_multiple(lr, 16)
+            g1 = s2d(x)
         dnp = fwd(tparams, g1, g1 if res else None)
         # one fused transpose: packed -> unpacked -> crop -> flat f32
         dn = d2s(dnp)[:, :H, :W, :].astype(jnp.float32)
 
         flat = lambda t: t.reshape(t.shape[-3], -1)  # [H, W*4] dense view
         dnf = flat(dn[0])
-        lrf = flat(lr[0].astype(jnp.float32))
+        if with_inputs:  # the only consumer of the unpacked input frame
+            lr_un = d2s(lr)[:, :H, :W, :] if packed else lr
+            lrf = flat(lr_un[0].astype(jnp.float32))
         if ori:
             r = jnp.asarray(ratio, jnp.float32).reshape(())
             dnf = dnf * r
-            lrf = lrf * r
+            if with_inputs:
+                lrf = lrf * r
         dnf = jnp.clip(dnf, 0.0, 1.0)
-        lrf = jnp.clip(lrf, 0.0, 1.0)
+        if with_inputs:
+            lrf = jnp.clip(lrf, 0.0, 1.0)
         hrf = flat(hr[0].astype(jnp.float32))
         hrc = jnp.clip(hrf, 0.0, 1.0)
         scale = jnp.float32(1.0)

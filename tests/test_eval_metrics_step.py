@@ -92,6 +92,46 @@ def test_trainer_eval_fused_matches_sharded_path(tmp_path, monkeypatch):
     assert abs(s1 - s2) < 1e-4, (s1, s2)
 
 
+@pytest.mark.parametrize("with_inputs", [False, True])
+def test_fused_eval_packed_input_is_exact(with_inputs):
+    """Host pre-packed lr (pack_frame_np) through the step's packed branch
+    produces BIT-identical outputs to the unpacked path: the host pad+s2d is
+    the f32-exact mirror of the on-device input stage, and everything after
+    g1 is the same traced program."""
+    from pnnp_tpu.models.unet_s2d import d2s_np, pack_frame_np, s2d_np
+
+    model = UNetSeeInDark(nf=4)
+    state = create_train_state(jax.random.key(0), model,
+                               jnp.zeros((1, 16, 16, 4)))
+    tp = transform_params_hybrid(state.params)
+
+    rng = np.random.default_rng(2)
+    # %16-misaligned on purpose: the host pack must reproduce the reflect pad
+    lr = rng.uniform(0, 0.4, (1, 36, 44, 4)).astype(np.float32)
+    hr = jnp.asarray(rng.uniform(0, 1.0, (1, 36, 44, 4)).astype(np.float32))
+    ratio = jnp.float32(2.0)
+
+    # host helpers mirror the device layout ops exactly
+    from pnnp_tpu.models.unet_s2d import d2s, s2d
+    x = rng.uniform(0, 1, (1, 8, 12, 4)).astype(np.float32)
+    np.testing.assert_array_equal(s2d_np(x), np.asarray(s2d(jnp.asarray(x))))
+    np.testing.assert_array_equal(
+        d2s_np(s2d_np(x)), np.asarray(d2s(s2d(jnp.asarray(x)))))
+
+    fused = make_eval_metrics_step(model)
+    dn_u, m_u = fused(tp, jnp.asarray(lr), hr, ratio, ori=True, correct=True,
+                      with_inputs=with_inputs)
+    packed = pack_frame_np(lr)
+    assert packed.shape == (1, 24, 24, 16)
+    dn_p, m_p = fused(tp, jnp.asarray(packed), hr, ratio, ori=True,
+                      correct=True, with_inputs=with_inputs)
+
+    np.testing.assert_array_equal(np.asarray(dn_u), np.asarray(dn_p))
+    assert set(m_u) == set(m_p)
+    for k in m_u:
+        np.testing.assert_array_equal(np.asarray(m_u[k]), np.asarray(m_p[k]))
+
+
 def test_packed_to_banded_layout_contract():
     from pnnp_tpu.kernels.ssim import packed_to_banded
     from pnnp_tpu.models.unet_s2d import s2d

@@ -149,6 +149,39 @@ def test_loader_collate_and_prefetch(tmp_path):
     assert batches[0]["ratio"].shape == (4,)
 
 
+def test_loader_transform_runs_in_workers(tmp_path):
+    """The transform hook is applied per batch in BOTH the worker and the
+    num_workers=0 paths, and worker-side transform exceptions surface in the
+    consumer like dataset exceptions do."""
+    make_sid_fixture(tmp_path)
+    dst = dict(
+        dataset="SID_Dataset", mode="train", H=32, W=48, patch_size=8,
+        crop_per_image=2, croptype="random_crop", command="", wp=16383, bl=512,
+        ori=False, clip=2, infos_dir=str(tmp_path / "infos"),
+    )
+    ds = SIDDataset(dst)
+
+    def mark(batch):
+        batch["marked"] = batch["hr"].sum()
+        return batch
+
+    for nw in (0, 2):
+        loader = DataLoader(ds, batch_size=2, num_workers=nw, seed=7,
+                            shuffle=False, transform=mark)
+        batches = list(loader)
+        assert all("marked" in b for b in batches)
+
+    def boom(batch):
+        raise ValueError("transform boom")
+
+    loader = DataLoader(ds, batch_size=2, num_workers=2, seed=7,
+                        shuffle=False, transform=boom)
+    import pytest
+
+    with pytest.raises(ValueError, match="transform boom"):
+        list(loader)
+
+
 def test_multidataset_concat(tmp_path):
     make_sid_fixture(tmp_path)
     dst = dict(

@@ -30,6 +30,10 @@ SHAPES = [("SonyA7S2", 2848, 4256), ("IMX686", 3472, 4624)]
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--packed", action="store_true",
+                    help="feed host pre-packed frames (pack_frame_np), the "
+                         "production loader-worker path — measures the step "
+                         "with the on-device input s2d removed")
     a = ap.parse_args()
 
     from pnnp_tpu.models import UNetSeeInDark
@@ -51,11 +55,20 @@ def main():
         hr = jax.random.uniform(jax.random.key(2), (1, h, w, 4), jnp.float32)
         hr16, _ = pad_to_multiple(hr, 16)
 
+        if a.packed:
+            import numpy as np
+
+            from pnnp_tpu.models.unet_s2d import pack_frame_np
+
+            frames = jnp.asarray(np.stack(
+                [pack_frame_np(np.asarray(f)) for f in frames]))
+
         @jax.jit
         def pipeline(tp, frames, hr16):
             def per_frame(lr):
-                lr16, _ = pad_to_multiple(lr, 16)
-                dnp, m = step(tp, lr16, hr16, jnp.float32(1.0),
+                if lr.shape[-1] != 16:
+                    lr, _ = pad_to_multiple(lr, 16)
+                dnp, m = step(tp, lr, hr16, jnp.float32(1.0),
                               ori=False, correct=True, with_inputs=False)
                 return m["psnr"] + m["ssim"]
 
