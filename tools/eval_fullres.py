@@ -88,11 +88,13 @@ def main():
         print(json.dumps({
             "camera": cam,
             "mosaic": f"{H}x{W}",
-            "path": "fused-hybrid",
+            "path": "fused-hybrid" + ("-packed-in" if a.packed else ""),
             "ms_per_frame": round(dt * 1e3, 2),
             "mpix_s": round(mpix / dt, 1),
             "compile_s": round(compile_s, 1),
-            "includes": "fused pad16+unet+clip+illum+psnr+ssim (production step)",
+            "includes": ("fused unet+clip+illum+psnr+ssim, host-packed input"
+                         if a.packed else
+                         "fused pad16+unet+clip+illum+psnr+ssim (production step)"),
         }))
 
 
