@@ -39,9 +39,8 @@ import re
 import sys
 import tempfile
 
-sys.path.insert(0, ".")
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # works from any cwd; logs/ are written under cwd
 
 
 def _runfile_path(cfg) -> str:
@@ -129,7 +128,6 @@ def run_config(name: str, cfg: dict, args) -> list[dict]:
     save_checkpoint(os.path.join(ckpt_dir, f"{model_name}_best_model.ckpt"),
                     params, None, {"epoch": 0, "eval_psnr": 1.0})
     run["fast_ckpt"] = ckpt_dir
-    run["num_workers"] = args.num_workers
     run["disable_fast_path"] = True  # f32 eval math for the ±0.05 dB budget
     for key in ("dst", "dst_train", "dst_eval", "dst_test"):
         if isinstance(run.get(key), dict):
@@ -166,13 +164,17 @@ def run_config(name: str, cfg: dict, args) -> list[dict]:
         ypath = os.path.join(args.workdir, f"{name}_{id(leg)}.yml")
         with open(ypath, "w") as f:
             yaml.safe_dump(leg, f)
-        trainer_main(["-f", ypath, "--mode", "evaltest", "--nofig"])
+        argv = ["-f", ypath, "--mode", "evaltest", "--nofig"]
+        if args.debug:
+            argv.append("--debug")  # serial in-process loading
+        trainer_main(argv)
 
     with open(logfile) as f:
         logtext = f.read()
+    num = r"-?[\d.]+"  # SSIM can be negative for a broken checkpoint
     pairs = re.findall(
-        r"psnrs_lr=[\d.]+, psnrs_dn=([\d.]+)\nssims_lr=[\d.]+, "
-        r"ssims_dn=([\d.]+)", logtext)
+        rf"psnrs_lr={num}, psnrs_dn=({num})\nssims_lr={num}, "
+        rf"ssims_dn=({num})", logtext)
     rows = []
     expected = cfg["sweeps"]
     got = pairs[-len(expected):]
@@ -197,7 +199,8 @@ def main(argv=None):
     ap.add_argument("--ckpt", required=True,
                     help="released torch .pth for this config")
     ap.add_argument("--infos_dir", default="infos")
-    ap.add_argument("--num_workers", type=int, default=2)
+    ap.add_argument("--debug", action="store_true",
+                    help="serial data loading (no worker threads)")
     ap.add_argument("--tol_db", type=float, default=0.05)
     ap.add_argument("--tol_ssim", type=float, default=0.002)
     ap.add_argument("--workdir", default=None)
