@@ -53,8 +53,6 @@ def s2d_np(x):
     to pre-pack full frames off the device critical path (the on-device s2d
     of an unpacked full frame costs ~7 ms on v5e; in a prefetch worker it
     hides behind the previous frame's eval step)."""
-    import numpy as np
-
     n, H, W, c = x.shape
     x = x.reshape(n, H // 2, 2, W // 2, 2, c)
     x = np.ascontiguousarray(x.transpose(0, 1, 3, 2, 4, 5))
@@ -63,8 +61,6 @@ def s2d_np(x):
 
 def d2s_np(g):
     """Host (numpy) mirror of :func:`d2s`."""
-    import numpy as np
-
     n, h, w, c4 = g.shape
     c = c4 // 4
     x = g.reshape(n, h, w, 2, 2, c)
@@ -73,18 +69,18 @@ def d2s_np(g):
 
 
 def pack_frame_np(x, mult: int = 16):
-    """Reflect-pad ``[N, H, W, 4]`` to ``%mult`` and s2d-pack to
+    """Symmetric-reflect-pad ``[N, H, W, 4]`` to ``%mult`` and s2d-pack to
     ``[N, H'/2, W'/2, 16]`` — the host mirror of the fused eval step's
     on-device ``pad_to_multiple + s2d`` input stage (bit-exact in f32, so
-    the step's packed branch produces identical outputs). Run in loader
-    prefetch workers to take the input relayout off the device critical
-    path."""
-    import numpy as np
-
+    the step's packed branch produces identical outputs; the pad split must
+    stay in lockstep with ``pnnp_tpu.train.steps.pad_split``). Run in
+    loader prefetch workers to take the input relayout off the device
+    critical path."""
     H, W = x.shape[1], x.shape[2]
     ph, pw = (-H) % mult, (-W) % mult
     if ph or pw:
-        x = np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        x = np.pad(x, ((0, 0), (ph // 2, ph - ph // 2),
+                       (pw // 2, pw - pw // 2), (0, 0)), mode="reflect")
     return s2d_np(np.asarray(x))
 
 

@@ -33,6 +33,7 @@ def sample_params_max(
     n: int = 1,
     ratio: Optional[jnp.ndarray] = None,
     iso: Optional[object] = None,
+    jitter_sigmas: bool = True,
 ) -> dict:
     """Batched port of ``sample_params_max`` (reference: process.py:311-351).
 
@@ -43,6 +44,9 @@ def sample_params_max(
     * ``iso`` None -> regression branch: per-example dual-ISO coin flip for
       SonyA7S2, K-jittered log-linear sigma models.
     * ``ratio`` None -> U(100, 300) for Sony-family, exp(U(0, 2.08)) otherwise.
+    * ``jitter_sigmas=False`` (point branch only): keep sigGs/sigTL/sigR at
+      their calibrated means — the trainer_LRID.py:404-408 law, which copies
+      the dataset's measured ISO-6400 NLF and perturbs ONLY K.
     """
     ks = jax.random.split(key, 8)
 
@@ -59,9 +63,12 @@ def sample_params_max(
             idx = jnp.asarray(iso, jnp.int32)
         gather = lambda name: jnp.asarray(table[name], jnp.float32)[idx]
         K = gather("Kmax") * (1.0 + jax.random.uniform(ks[0], (n,), minval=-0.01, maxval=0.01))
-        sigGs = gather("sigGs") + jax.random.normal(ks[1], (n,)) * gather("sigGssig")
-        sigTL = gather("sigTL") + jax.random.normal(ks[2], (n,)) * gather("sigTLsig")
-        sigR = gather("sigR") + jax.random.normal(ks[3], (n,)) * gather("sigRsig")
+        if jitter_sigmas:
+            sigGs = gather("sigGs") + jax.random.normal(ks[1], (n,)) * gather("sigGssig")
+            sigTL = gather("sigTL") + jax.random.normal(ks[2], (n,)) * gather("sigTLsig")
+            sigR = gather("sigR") + jax.random.normal(ks[3], (n,)) * gather("sigRsig")
+        else:
+            sigGs, sigTL, sigR = gather("sigGs"), gather("sigTL"), gather("sigR")
         bias = jnp.asarray(table["bias"], jnp.float32)[idx]
         lam = gather("lam")
         wp = jnp.full((n,), table["wp"], jnp.float32)

@@ -46,17 +46,34 @@ def _gtdn_ratio(key, n):
     return jnp.maximum(jax.random.uniform(key, (n,), minval=-3.0, maxval=4.0), 1.0)
 
 
+def _raw_synth_params(key, camera_type, n, iso, ratio, gtdn, lrid):
+    """Shared parameter draw for the raw-synth builders.
+
+    ``lrid=True`` applies the trainer_LRID.py:399-418 IMX686 law: the
+    dataset's point-calibrated ISO params with ONLY K jittered (sigmas at
+    their means) and a per-example LINEAR ``ratio ~ U(1, 16)`` — distinct
+    from process.py:344-348's generic exp-uniform law.
+    """
+    k1, k3, k4 = jax.random.split(key, 3)
+    if lrid:
+        ratio = jax.random.uniform(k4, (n,), minval=1.0, maxval=16.0)
+    params = sample_params_max(k1, camera_type, n=n, ratio=ratio, iso=iso,
+                               jitter_sigmas=not lrid)
+    if gtdn:
+        params = dict(params, ratio=_gtdn_ratio(k3, n))
+    return params
+
+
 def make_raw_synth(camera_type: str, noise_code: str, ori: bool, clip: bool,
-                   iso=None, ratio=None, gtdn: bool = False):
+                   iso=None, ratio=None, gtdn: bool = False,
+                   lrid: bool = False):
     """Physics noise synthesis on clean GT crops, fully batched."""
 
     def synth(key, batch):
         hr = batch["hr"]
         n = hr.shape[0]
-        k1, k2, k3 = jax.random.split(key, 3)
-        params = sample_params_max(k1, camera_type, n=n, ratio=ratio, iso=iso)
-        if gtdn:
-            params = dict(params, ratio=_gtdn_ratio(k3, n))
+        kp, k2 = jax.random.split(key)
+        params = _raw_synth_params(kp, camera_type, n, iso, ratio, gtdn, lrid)
         lr = generate_noisy(k2, hr, params, noise_code, ori=ori, clip=bool(clip))
         return lr, hr, params["ratio"]
 
@@ -64,7 +81,8 @@ def make_raw_synth(camera_type: str, noise_code: str, ori: bool, clip: bool,
 
 
 def make_raw_synth_packed(camera_type: str, noise_code: str, ori: bool, clip: bool,
-                          iso=None, ratio=None, gtdn: bool = False):
+                          iso=None, ratio=None, gtdn: bool = False,
+                          lrid: bool = False):
     """Physics synthesis directly in the 4x4-superpixel packed layout.
 
     Same distribution as :func:`make_raw_synth` (row banding exact), but lr/hr
@@ -81,10 +99,8 @@ def make_raw_synth_packed(camera_type: str, noise_code: str, ori: bool, clip: bo
         if hr.shape[-1] == 4:
             hr = s2d(hr)
         n = hr.shape[0]
-        k1, k2, k3 = jax.random.split(key, 3)
-        params = sample_params_max(k1, camera_type, n=n, ratio=ratio, iso=iso)
-        if gtdn:
-            params = dict(params, ratio=_gtdn_ratio(k3, n))
+        kp, k2 = jax.random.split(key)
+        params = _raw_synth_params(kp, camera_type, n, iso, ratio, gtdn, lrid)
         lr = generate_noisy_packed(k2, hr, params, noise_code, ori=ori, clip=bool(clip))
         return lr, hr, params["ratio"]
 
@@ -317,15 +333,26 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def pad_split(n: int, mult: int = 16):
+    """(lo, hi) symmetric split of the pad needed to reach %mult — the
+    general form of the reference's fixed ``F.pad(p2d=(4,4,4,4))``
+    (trainer_SID.py:221-226 / trainer_LRID.py:224-229: both camera shapes
+    have residue 8, i.e. 4 per side). Must stay in lockstep with the host
+    mirror in pnnp_tpu.models.unet_s2d.pack_frame_np."""
+    p = (-n) % mult
+    return p // 2, p - p // 2
+
+
 def pad_to_multiple(x: jnp.ndarray, mult: int = 16):
-    """Reflect-pad H/W up to a multiple (reference pads to %16 before the UNet,
-    trainer_SID.py:221-228). Returns (padded, (H, W)) for later cropping."""
+    """Symmetric reflect-pad H/W up to a multiple (reference pads 4 per side
+    before the UNet and center-crops after, trainer_SID.py:221-226).
+    Returns (padded, (oy, ox, H, W)); crop the output with
+    ``pred[:, oy:oy+H, ox:ox+W, :]``."""
     H, W = x.shape[-3], x.shape[-2]
-    ph = (-H) % mult
-    pw = (-W) % mult
-    if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
-    return x, (H, W)
+    (pt, pb), (pl, pr) = pad_split(H, mult), pad_split(W, mult)
+    if pt or pb or pl or pr:
+        x = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)), mode="reflect")
+    return x, (pt, pl, H, W)
 
 
 def make_eval_metrics_step(model):
@@ -339,7 +366,9 @@ def make_eval_metrics_step(model):
 
       * inputs arrive channel-interleaved FLAT ``[1, H, W*4]`` (a free
         numpy reshape on the host side — [1, H, W, 4] is also accepted);
-      * %16 reflect pad + s2d fuse into the packed forward's input relayout
+      * %16 symmetric reflect pad (reference p2d=(4,4,4,4) + center crop,
+        trainer_SID.py:221-226) + s2d fuse into the packed forward's input
+        relayout
         — OR the host hands ``lr`` already packed ``[1, H'/2, W'/2, 16]``
         (:func:`pnnp_tpu.models.unet_s2d.pack_frame_np` in a prefetch
         worker), which skips the ~7 ms on-device input relayout entirely;
@@ -366,22 +395,25 @@ def make_eval_metrics_step(model):
             lr = lr.reshape(1, lr.shape[1], -1, 4)
         if hr.ndim == 3:
             hr = hr.reshape(1, hr.shape[1], -1, 4)
-        packed = lr.shape[-1] == 16  # host pre-packed (%16 pad + s2d)
+        # host pre-packed (%16 pad + s2d) — only unambiguous when the model
+        # consumes 4-channel frames (a 16-channel lr on an in_nc=16
+        # multi-frame model is a legitimate UNPACKED input)
+        packed = lr.shape[-1] == 16 and getattr(model, "in_nc", 4) == 4
         if packed:
             H, W = hr.shape[1], hr.shape[2]
+            oy, ox = pad_split(H)[0], pad_split(W)[0]
             g1 = lr
         else:
-            H, W = lr.shape[1], lr.shape[2]
-            x, _ = pad_to_multiple(lr, 16)
+            x, (oy, ox, H, W) = pad_to_multiple(lr, 16)
             g1 = s2d(x)
         dnp = fwd(tparams, g1, g1 if res else None)
         # one fused transpose: packed -> unpacked -> crop -> flat f32
-        dn = d2s(dnp)[:, :H, :W, :].astype(jnp.float32)
+        dn = d2s(dnp)[:, oy:oy + H, ox:ox + W, :].astype(jnp.float32)
 
         flat = lambda t: t.reshape(t.shape[-3], -1)  # [H, W*4] dense view
         dnf = flat(dn[0])
         if with_inputs:  # the only consumer of the unpacked input frame
-            lr_un = d2s(lr)[:, :H, :W, :] if packed else lr
+            lr_un = d2s(lr)[:, oy:oy + H, ox:ox + W, :] if packed else lr
             lrf = flat(lr_un[0].astype(jnp.float32))
         if ori:
             r = jnp.asarray(ratio, jnp.float32).reshape(())
@@ -435,9 +467,9 @@ def make_eval_step(model, fast: bool = False):
 
         @jax.jit
         def fast_step(tparams, lr_img):
-            x, (H, W) = pad_to_multiple(lr_img, 16)
+            x, (oy, ox, H, W) = pad_to_multiple(lr_img, 16)
             pred = unet_hybrid_forward(tparams, x, res=getattr(model, "res", False))
-            return pred[:, :H, :W, :]
+            return pred[:, oy:oy + H, ox:ox + W, :]
 
         cache = {"params": None, "tp": None}
 
@@ -459,8 +491,8 @@ def make_eval_step(model, fast: bool = False):
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
-        x, (H, W) = pad_to_multiple(lr_img, 16)
+        x, (oy, ox, H, W) = pad_to_multiple(lr_img, 16)
         pred = model.apply(variables, x)
-        return pred[:, :H, :W, :]
+        return pred[:, oy:oy + H, ox:ox + W, :]
 
     return step

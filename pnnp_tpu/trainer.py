@@ -283,9 +283,14 @@ class Trainer:
                    or self.dst.get("command") or "")
         if name in ("Raw_Dataset", "IMX686_Raw_Dataset"):
             gtdn = "GTdn" in command
-            if getattr(self, "_use_packed", False):
-                return make_raw_synth_packed(cam, code, ori, clip, gtdn=gtdn)
-            return make_raw_synth(cam, code, ori, clip, gtdn=gtdn)
+            # IMX686 (trainer_LRID.py:399-418): point ISO-6400 calibration
+            # with only-K jitter and linear ratio ~ U(1,16) — NOT the generic
+            # regression/exp-uniform law the Sony path uses
+            lrid = name == "IMX686_Raw_Dataset"
+            iso_pt = int(self.dst.get("iso", 6400)) if lrid else None
+            mk = (make_raw_synth_packed if getattr(self, "_use_packed", False)
+                  else make_raw_synth)
+            return mk(cam, code, ori, clip, gtdn=gtdn, iso=iso_pt, lrid=lrid)
         if name in ("NF_Syn_Dataset", "Proxy_Dataset", "IMX686_NF_Syn_Dataset",
                     "IMX686_Proxy_Dataset"):
             if self.proxy is None:

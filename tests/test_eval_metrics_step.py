@@ -92,6 +92,22 @@ def test_trainer_eval_fused_matches_sharded_path(tmp_path, monkeypatch):
     assert abs(s1 - s2) < 1e-4, (s1, s2)
 
 
+def test_pad_to_multiple_matches_reference_symmetric_pad():
+    """Reference eval pads p2d=(4,4,4,4) reflect and center-crops
+    (trainer_SID.py:221-226); both camera shapes have residue 8. The
+    general form splits the pad evenly per side."""
+    from pnnp_tpu.train.steps import pad_split, pad_to_multiple
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (1, 24, 40, 4)).astype(np.float32)  # residues 8, 8
+    p, (oy, ox, H, W) = pad_to_multiple(jnp.asarray(x), 16)
+    ref = np.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)), mode="reflect")
+    np.testing.assert_array_equal(np.asarray(p), ref)
+    assert (oy, ox, H, W) == (4, 4, 24, 40)
+    assert pad_split(1736) == (4, 4) and pad_split(2312) == (4, 4)
+    assert pad_split(1424) == (0, 0) and pad_split(2128) == (0, 0)
+
+
 @pytest.mark.parametrize("with_inputs", [False, True])
 def test_fused_eval_packed_input_is_exact(with_inputs):
     """Host pre-packed lr (pack_frame_np) through the step's packed branch

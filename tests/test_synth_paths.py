@@ -130,6 +130,52 @@ def test_proxy_synth_sampling_laws(rng):
     assert len(isos) > 3  # actually sweeps the ladder
 
 
+def test_lrid_raw_synth_law(rng):
+    """IMX686_Raw_Dataset synthesis (trainer_LRID.py:399-418): the dataset's
+    point-calibrated ISO-6400 params with ONLY K jittered (+-1%), sigmas at
+    their calibrated means, and a per-example LINEAR ratio ~ U(1,16) — not
+    the generic exp-uniform law of process.py:344-348."""
+    from pnnp_tpu.physics import calibration as calib
+    from pnnp_tpu.physics.sampling import sample_params_max
+
+    t = calib.ISO_TABLES["IMX686"]
+    i6400 = calib.iso_index("IMX686", 6400)
+
+    ratios, Ks = [], []
+    for i in range(48):
+        p = sample_params_max(jax.random.key(i), "IMX686", n=8, iso=6400,
+                              jitter_sigmas=False)
+        # sigmas pinned at the calibrated means, K jittered within +-1%
+        np.testing.assert_array_equal(np.asarray(p["sigGs"]),
+                                      np.full(8, t["sigGs"][i6400], np.float32))
+        np.testing.assert_array_equal(np.asarray(p["sigTL"]),
+                                      np.full(8, t["sigTL"][i6400], np.float32))
+        np.testing.assert_array_equal(np.asarray(p["sigR"]),
+                                      np.full(8, t["sigR"][i6400], np.float32))
+        Ks.append(np.asarray(p["K"]))
+    K = np.concatenate(Ks)
+    K0 = t["Kmax"][i6400]
+    assert (np.abs(K / K0 - 1.0) <= 0.01 + 1e-6).all()
+    assert K.std() > 0  # jitter is live
+
+    # the trainer dispatch draws LINEAR U(1,16) per example
+    synth = make_raw_synth("IMX686", "prq", ori=False, clip=False,
+                           iso=6400, lrid=True)
+    batch = {"hr": jnp.asarray(rng.uniform(0.05, 0.3, (8, 16, 16, 4))
+                               .astype(np.float32))}
+    rs = []
+    for i in range(64):
+        _, _, ratio = synth(jax.random.key(i), batch)
+        r = np.asarray(ratio)
+        assert len(np.unique(r)) == len(r), "ratio is per-example"
+        rs.append(r)
+    r = np.concatenate(rs)
+    assert r.min() >= 1.0 and r.max() <= 16.0
+    # linear-uniform mean 8.5 (exp-uniform over the same support would be
+    # ~(16-1)/ln(16) = 5.4); 512 draws: se ~ 0.19
+    assert abs(r.mean() - 8.5) < 0.8, r.mean()
+
+
 def test_sfrn_packed_synth_via_trainer_dispatch(rng, tmp_path, monkeypatch):
     """SFRN with the packed step: shot synth in packed space + s2d'd real read
     layer. With a zero GT the shot term vanishes (Poisson(0)=0), so lr must be
