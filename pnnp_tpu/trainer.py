@@ -540,6 +540,15 @@ class Trainer:
                 metrics = pickle.load(f)
 
         brightness_correct = bool(self.args.get("brightness_correct", True))
+        # The reference's LRID trainer constructs IlluminanceCorrect but
+        # never calls it in eval (trainer_LRID.py:62 vs :195-319 — the
+        # runfile flag is inert there), so the published IMX686 numbers are
+        # UNcorrected; only the SID/ELD eval corrects (trainer_SID.py:238).
+        # trainer_LED *does* correct on the same data (trainer_LED.py:122),
+        # so LEDTrainer overrides _phone_eval_corrects.
+        if (str(self.dst_eval.get("dataset", "")).startswith("IMX686")
+                and not getattr(self, "_phone_eval_corrects", False)):
+            brightness_correct = False
         ori = bool(self.dst_eval.get("ori", self.dst.get("ori", False)))
         self.rgb_metrics = bool(self.args.get("rgb_metrics", False))
 
@@ -700,9 +709,19 @@ class Trainer:
         out_dir = out_dir or os.path.join(self.sample_dir, "test")
         os.makedirs(out_dir, exist_ok=True)
         loader = DataLoader(dataset, batch_size=1, shuffle=False, num_workers=0)
+        correct = (bool(self.args.get("brightness_correct", True))
+                   and not str(dst.get("dataset", "")).startswith("IMX686"))
+        ori = bool(dst.get("ori", self.dst.get("ori", False)))
         for k, batch in enumerate(loader):
             lr = jnp.asarray(batch["lr"])
-            dn = jnp.clip(self._forward_full(lr), 0, 1)
+            dn = self._forward_full(lr)
+            if ori and "ratio" in batch:  # brighten before clamp
+                dn = dn * jnp.asarray(batch["ratio"]).reshape(-1, 1, 1, 1)
+            dn = jnp.clip(dn, 0, 1)
+            # the reference's test mode corrects against the GT before saving
+            # (trainer_SID.py:396-397)
+            if correct and "hr" in batch:
+                dn = illuminance_correct(dn, jnp.asarray(batch["hr"]))
             name = batch["name"][0] if isinstance(batch["name"], list) else str(batch["name"])
             np.save(os.path.join(out_dir, f"{name}_dn.npy"), np.asarray(dn[0]))
             if self.save_plot:

@@ -22,6 +22,9 @@ class LEDTrainer(Trainer):
         # fused eval step, which would run the real forward
         self.eval_step = lambda state, lr_img: jnp.asarray(lr_img)
         self._fused_eval = None
+        # unlike trainer_LRID, trainer_LED DOES illuminance-correct on phone
+        # data (trainer_LED.py:122)
+        self._phone_eval_corrects = True
 
 
 def main(argv=None):

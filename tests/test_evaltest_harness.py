@@ -175,18 +175,22 @@ def np_ssim(x, y, data_range=255.0, win=7):
     return float(np.mean(s[pad:-pad, pad:-pad]))
 
 
-def oracle_eval(sd, lr_pack, hr_pack, ratio):
-    """Replicates the eval contract: x ratio, half-clip, reflect-pad %16,
-    forward, clamp, illuminance-correct, 255-scale PSNR/SSIM."""
+def oracle_eval(sd, lr_pack, hr_pack, ratio, correct=True):
+    """Replicates the eval contract: x ratio, half-clip, symmetric reflect-pad
+    %16 + center crop (trainer_SID.py:221-226), forward, clamp,
+    illuminance-correct (SID/ELD only — the reference LRID eval never calls
+    the corrector, trainer_LRID.py:195-319), 255-scale PSNR/SSIM."""
     lr = np.minimum(lr_pack * ratio, 1.0)          # clip=2: lower bound -inf
     hr = np.clip(hr_pack, 0.0, 1.0)
     h, w = lr.shape[:2]
     ph, pw = (-h) % 16, (-w) % 16
-    x = np.pad(lr[None], ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
-    dn = torch_unet(sd, x)[0, :h, :w, :]
+    x = np.pad(lr[None], ((0, 0), (ph // 2, ph - ph // 2),
+                          (pw // 2, pw - pw // 2), (0, 0)), mode="reflect")
+    dn = torch_unet(sd, x)[0, ph // 2:ph // 2 + h, pw // 2:pw // 2 + w, :]
     dn = np.clip(dn, 0.0, 1.0)
-    wgt = (hr != 1.0).astype(np.float64)
-    dn = dn * (np.sum(dn * hr * wgt) / np.sum(dn * dn * wgt))
+    if correct:
+        wgt = (hr != 1.0).astype(np.float64)
+        dn = dn * (np.sum(dn * hr * wgt) / np.sum(dn * dn * wgt))
     out255, tgt255 = dn * 255.0, hr * 255.0
     in255 = np.clip(lr, 0.0, 1.0) * 255.0
     p = 10 * np.log10(255.0**2 / np.mean((out255 - tgt255) ** 2))
@@ -412,7 +416,9 @@ def test_evaltest_lrid_chain(tmp_path, monkeypatch):
             hr = np_pack(np.load(gt_infos[sid]["data"]), wp=1023, bl=64, clip=True)
             lr = np_pack(np.load(short_infos[dg][sid]["data"][0]),
                          wp=1023, bl=64, clip=False)
-            vals.append(oracle_eval(sd, lr, hr, float(dg)))
+            # LRID eval: NO illuminance correction (trainer_LRID never calls
+            # the corrector even with brightness_correct: true)
+            vals.append(oracle_eval(sd, lr, hr, float(dg), correct=False))
         summaries.append(np.mean(vals, axis=0))
 
     with open("logs/log_HARNESS686_Unet.log") as f:
