@@ -3,7 +3,11 @@
 The TPU-native counterpart of the reference trainer layer (reference:
 base_trainer.py + trainer_SID.py): same CLI surface
 (``python -m pnnp_tpu.trainer -f runfile --mode {train,eval,test,evaltest,
-trainonly}``), same YAML runfiles, same log/metric/checkpoint contract — but
+trainonly,dump}``), same YAML runfiles, same log/metric/checkpoint contract
+— 'train' evaluates with the best weights after finishing (trainer_SID.py:
+521-534), 'eval'/'test'/'evaltest' sweep dst_eval / dst_test / both, 'dump'
+saves denoised outputs (the reference test() method), 'trainonly' trains
+without the eval leg — but
 the hot path is one jitted XLA program (loader -> on-device noise synth ->
 fwd -> bwd -> Adam) over a data-parallel mesh, and eval metrics (PSNR/SSIM,
 brightness correction, device ISP) never leave the chip.
@@ -708,26 +712,39 @@ class Trainer:
         dataset = build_dataset(dict(dst, mode="eval"), seed=self.seed)
         out_dir = out_dir or os.path.join(self.sample_dir, "test")
         os.makedirs(out_dir, exist_ok=True)
-        loader = DataLoader(dataset, batch_size=1, shuffle=False, num_workers=0)
         correct = (bool(self.args.get("brightness_correct", True))
                    and not str(dst.get("dataset", "")).startswith("IMX686"))
         ori = bool(dst.get("ori", self.dst.get("ori", False)))
-        for k, batch in enumerate(loader):
-            lr = jnp.asarray(batch["lr"])
-            dn = self._forward_full(lr)
-            if ori and "ratio" in batch:  # brighten before clamp
-                dn = dn * jnp.asarray(batch["ratio"]).reshape(-1, 1, 1, 1)
-            dn = jnp.clip(dn, 0, 1)
-            # the reference's test mode corrects against the GT before saving
-            # (trainer_SID.py:396-397)
-            if correct and "hr" in batch:
-                dn = illuminance_correct(dn, jnp.asarray(batch["hr"]))
-            name = batch["name"][0] if isinstance(batch["name"], list) else str(batch["name"])
-            np.save(os.path.join(out_dir, f"{name}_dn.npy"), np.asarray(dn[0]))
-            if self.save_plot:
-                self._plot_sample(jnp.clip(lr, 0, 1)[0], dn[0],
-                                  jnp.asarray(batch["hr"])[0], batch, name, -1)
-            log(f"[test {k + 1}/{len(loader)}] saved {name}")
+
+        def dump_split():
+            loader = DataLoader(dataset, batch_size=1, shuffle=False,
+                                num_workers=0)
+            for k, batch in enumerate(loader):
+                lr = jnp.asarray(batch["lr"])
+                dn = self._forward_full(lr)
+                if ori and "ratio" in batch:  # brighten before clamp
+                    dn = dn * jnp.asarray(batch["ratio"]).reshape(-1, 1, 1, 1)
+                dn = jnp.clip(dn, 0, 1)
+                # the reference's output pass corrects against the GT before
+                # saving (trainer_SID.py:396-397)
+                if correct and "hr" in batch:
+                    dn = illuminance_correct(dn, jnp.asarray(batch["hr"]))
+                name = batch["name"][0] if isinstance(batch["name"], list) else str(batch["name"])
+                np.save(os.path.join(out_dir, f"{name}_dn.npy"), np.asarray(dn[0]))
+                if self.save_plot:
+                    self._plot_sample(jnp.clip(lr, 0, 1)[0], dn[0],
+                                      jnp.asarray(batch["hr"])[0], batch, name, -1)
+                log(f"[test {k + 1}/{len(loader)}] saved {name}")
+
+        # ratio-split datasets (SID/phone) expose only one split at a time;
+        # walk the configured ladder so every frame is dumped
+        ratios = [r for r in (dst.get("ratio_list") or []) if r is not None]
+        if hasattr(dataset, "change_eval_ratio") and ratios:
+            for r in ratios:
+                dataset.change_eval_ratio(r)
+                dump_split()
+        else:
+            dump_split()
         self._drain_plots()
 
     def predict(self, raw_mosaic: np.ndarray, name: str | None = "ds",
@@ -781,16 +798,35 @@ def main(argv=None):
     mode = trainer.mode
     if mode in ("train", "trainonly"):
         trainer.train()
-    if mode == "test":
+        if mode == "train":
+            # reference: a finished training run reloads the BEST weights and
+            # falls through to the full evaltest sweep (trainer_SID.py:521-534)
+            restored = trainer.ckpt.restore("best")
+            if restored is not None:
+                trainer.state = trainer.state.replace(
+                    params=jax.tree.map(jnp.asarray, restored["params"]),
+                    batch_stats=restored.get("batch_stats"),
+                )
+                trainer._place_state()
+            mode = "evaltest"
+    if mode == "dump":
+        # output-saving denoise pass over the test split — the reference's
+        # test() METHOD, reached upstream via --mode trainonly
+        # (trainer_SID.py:535-537, :362-420); distinct from --mode test,
+        # which is a metrics sweep (README "SID only")
         trainer.test()
-    if mode in ("eval", "evaltest"):
-        ds = trainer.dataset_eval
-        eval_sweep(trainer, ds, list(trainer.dst_eval.get("ratio_list", [])))
-
-        # evaltest additionally sweeps the test split (reference: the SID
-        # x100/x250/x300 branch of trainer_SID.py:551-562).
-        if mode == "evaltest" and trainer.dst_test and (
-            trainer.dst_test.get("dataset") != trainer.dst_eval.get("dataset")
+    if mode in ("eval", "evaltest", "test"):
+        # ELD-style dgain sweep over dst_eval ('eval' / 'evaltest';
+        # reference trainer_SID.py:538-549 dispatches on substring too)
+        if mode in ("eval", "evaltest") or trainer.dst_test is None:
+            eval_sweep(trainer, trainer.dataset_eval,
+                       list(trainer.dst_eval.get("ratio_list", [])))
+        # 'test' is the dst_test metrics sweep on its own (README: "SID
+        # only: --mode test", trainer_SID.py:551-562); evaltest runs both
+        if trainer.dst_test and (
+            mode == "test"
+            or (mode == "evaltest" and trainer.dst_test.get("dataset")
+                != trainer.dst_eval.get("dataset"))
         ):
             # eval() reads ori/brightness settings from dst_eval, so swap the
             # whole block (not just the dataset) for the test-split sweep

@@ -54,7 +54,12 @@ def make_nf_train_step(nf: NoiseFlow, lr_schedule):
         state = apply_scaled_updates(state, grads, lr)
         if new_stats:
             state = state.replace(batch_stats=new_stats.get("batch_stats", state.batch_stats))
-        return state, {"nll": nll, "sd_z": sd_z, "lr": lr}
+        # reported NLL is in the UNscaled noise domain (change of variables:
+        # + log ratio), matching the reference meter trainer_NF_SID.py:131;
+        # the gradient uses the plain nll above, also like the reference
+        metrics = {"nll": nll + jnp.mean(jnp.log(ratio)),
+                   "sd_z": sd_z * jnp.mean(ratio), "lr": lr}
+        return state, metrics
 
     return jax.jit(step, donate_argnums=(0,))
 
