@@ -80,6 +80,56 @@ def test_led_identity_eval(tmp_path, monkeypatch):
     assert np.isfinite(t.eval_psnr.avg) and np.isfinite(t.eval_psnr_lr.avg)
 
 
+def test_lrid_eval_correction_gate(tmp_path, monkeypatch):
+    """The reference LRID trainer never illuminance-corrects in eval (its
+    brightness_correct flag is inert, trainer_LRID.py:195-319), while
+    trainer_LED corrects on the same data (trainer_LED.py:122). Trainer must
+    skip correction for IMX686 eval datasets; LEDTrainer must apply it."""
+    from test_phone_and_nf import make_lrid_fixture, phone_args
+
+    monkeypatch.chdir(tmp_path)
+    make_lrid_fixture(tmp_path, n_scenes=59)
+    dst = phone_args(tmp_path, dataset="IMX686_Dataset", mode="eval",
+                     camera_type="IMX686", ori=True)
+    runfile = {
+        "mode": "eval", "checkpoint": "sm", "fast_ckpt": "ck",
+        "model_name": "LRIDCORR_Unet", "num_workers": 0,
+        "brightness_correct": True,
+        "dst": dst, "dst_eval": dst,
+        "arch": {"name": "UNetSeeInDark", "in_nc": 4, "out_nc": 4, "nf": 4,
+                 "nframes": 1, "res": False},
+        "hyper": {"lr_scheduler": "fixed", "learning_rate": 1e-4,
+                  "batch_size": 1, "last_epoch": 0, "stop_epoch": 1,
+                  "save_freq": 1, "plot_freq": 1, "best_psnr": 0},
+    }
+    with open(tmp_path / "corr.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+
+    import pnnp_tpu.trainer as tr
+
+    calls = []
+    orig = tr.illuminance_correct
+
+    def spy(dn, hr):
+        calls.append(1)
+        return orig(dn, hr)
+
+    monkeypatch.setattr(tr, "illuminance_correct", spy)
+
+    from pnnp_tpu.trainer import Trainer
+    from pnnp_tpu.trainer_led import LEDTrainer
+
+    t = Trainer(str(tmp_path / "corr.yml"), mode="eval", debug=True, nofig=True)
+    t.dataset_eval.change_eval_ratio(2)
+    t.eval(-1)
+    assert not calls, "LRID eval must NOT illuminance-correct"
+
+    t2 = LEDTrainer(str(tmp_path / "corr.yml"), mode="eval", nofig=True)
+    t2.dataset_eval.change_eval_ratio(2)
+    t2.eval(-1)
+    assert calls, "LED eval corrects on the same data"
+
+
 def test_plot_sample_writes_jpg(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     make_sid_fixture(tmp_path, n_scenes=2, H=32, W=48)
