@@ -81,7 +81,6 @@ def main(argv=None):
     state = TrainState.create(apply_fn=proxy.apply, params=pvars["params"],
                               tx=make_adam_direction())
 
-    @jax.jit
     def step(state, noise, iso):
         def loss_fn(params):
             return proxy.apply({"params": params}, noise, iso, mode="loss")
@@ -89,16 +88,50 @@ def main(argv=None):
         (nll, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         return apply_scaled_updates(state, grads, 5e-4), nll
 
+    # One gatherable param row per train ISO so the per-step ISO draw stays
+    # on device — the whole training then chains inside lax.scan chunks (ONE
+    # dispatch per chunk; the per-step host round-trip dominated through the
+    # remote-device tunnel).
+    iso_arr = jnp.asarray(TRAIN_ISOS, jnp.float32)
+    tidx = [int(np.where(t["iso"] == iso)[0][0]) for iso in TRAIN_ISOS]
+    prow = {name: jnp.asarray([float(t[name][i]) for i in tidx])
+            for name in ("Kmax", "sigTL", "sigR", "sigGs", "lam")}
+
+    def params_from_idx(idx, n):
+        rep = lambda v: jnp.full((n,), v[idx])
+        return dict(
+            K=rep(prow["Kmax"]), sigTL=rep(prow["sigTL"]),
+            sigR=rep(prow["sigR"]), sigGs=rep(prow["sigGs"]),
+            bias=jnp.zeros((n, 4)), lam=rep(prow["lam"]),
+            q=jnp.full((n,), float(t["q"])), ratio=jnp.ones((n,)),
+            wp=jnp.full((n,), float(t["wp"])), bl=jnp.full((n,), float(t["bl"])),
+        )
+
+    @jax.jit
+    def train_chunk(state, keys):
+        def body(st, k):
+            k1, k2 = jax.random.split(k)
+            idx = jax.random.randint(k1, (), 0, len(TRAIN_ISOS))
+            noise = generate_noisy(
+                k2, jnp.zeros((a.batch, a.patch, a.patch, 4)),
+                params_from_idx(idx, a.batch), "pgrq", ori=True)
+            st, nll = step(st, noise, jnp.full((a.batch,), iso_arr[idx]))
+            return st, nll
+
+        state, nlls = jax.lax.scan(body, state, keys)
+        return state, nlls[-1]
+
     t0 = time.time()
     key = jax.random.key(7)
     nll = float("nan")
-    for it in range(1, a.steps + 1):
-        key, k1, k2 = jax.random.split(key, 3)
-        iso = TRAIN_ISOS[int(jax.random.randint(k1, (), 0, len(TRAIN_ISOS)))]
-        noise = dark_frames(k2, iso, a.batch, a.patch)
-        state, nll = step(state, noise, jnp.full((a.batch,), float(iso)))
-        if it % max(a.steps // 6, 1) == 0:
-            print(f"  step {it}: nll/dim={float(nll):.4f}", file=sys.stderr)
+    chunk = min(500, a.steps)
+    done = 0
+    while done < a.steps:
+        n = min(chunk, a.steps - done)
+        key, sub = jax.random.split(key)
+        state, nll = train_chunk(state, jax.random.split(sub, n))
+        done += n
+        print(f"  step {done}: nll/dim={float(nll):.4f}", file=sys.stderr)
 
     def score(iso, key):
         k1, k2, k3 = jax.random.split(key, 3)
