@@ -140,10 +140,12 @@ class BaseRawDataset:
             )
         return pack_raw_np(raw, self.args["wp"], self.args["bl"], norm=True, clip=clip)
 
+    AUG_MODES = 4  # paired data: no rot90 (row noise is directional)
+
     def make_planner(self):
         return CropPlanner(
             self.h, self.w, self.args["patch_size"], self.args["crop_per_image"],
-            self.args["croptype"], rng=self.rng,
+            self.args["croptype"], rng=self.rng, aug_modes=self.AUG_MODES,
         )
 
     def __len__(self):
@@ -244,6 +246,10 @@ class SynDataset(BaseRawDataset):
     """GT-raw-only dataset for on-device synthesis (Raw/NF_Syn/Proxy families,
     reference: syn_datasets.py:285-463). Optional host-side WB gain aug when
     ``lock_wb`` is False (reference: syn_datasets.py:313-319)."""
+
+    # syn data augments with rot90 too (8 modes, syn_datasets.py:75): the
+    # noise is synthesized AFTER the aug, so row banding stays row-aligned
+    AUG_MODES = 8
 
     def __init__(self, args=None, seed: int = 1997):
         super().__init__(args, seed)

@@ -50,7 +50,15 @@ class ImgDataset(BaseRawDataset):
         for i in range(n):
             h0 = int(self.rng.integers(0, H - p + 1))
             w0 = int(self.rng.integers(0, W - p + 1))
-            crops[i] = img[h0 : h0 + p, w0 : w0 + p, :3]
+            patch = img[h0 : h0 + p, w0 : w0 + p, :3]
+            # syn-family 8-mode aug (rot90 allowed: noise comes later,
+            # reference syn_datasets.py:75,101-107)
+            mode = int(self.rng.integers(8))
+            if mode % 4:
+                patch = np.rot90(patch, k=mode % 4, axes=(0, 1))
+            if mode // 4:
+                patch = patch[:, ::-1, :]
+            crops[i] = patch
         return {
             "srgb": crops,
             "name": os.path.basename(self.files[idx]),

@@ -45,6 +45,29 @@ def test_crop_aug_modes():
     np.testing.assert_array_equal(a3, img[::-1, :])
 
 
+def test_crop_aug_modes_syn8():
+    """Syn datasets use the reference's 8-mode aug (rot90 k=mode%4 then
+    flip-W if mode//4, syn_datasets.py:101-107) — noise is synthesized after
+    the aug, so rotations are legal there. Paired stays 4-mode."""
+    img = np.arange(16, dtype=np.float32).reshape(4, 4, 1)
+    for mode in range(8):
+        want = np.rot90(img, k=mode % 4, axes=(0, 1))
+        if mode // 4:
+            want = want[:, ::-1]
+        np.testing.assert_array_equal(
+            CropPlanner.augment(img, mode, aug_modes=8), want)
+    # planners draw from the configured support
+    p8 = CropPlanner(32, 48, 8, 64, "random_crop",
+                     rng=np.random.default_rng(0), aug_modes=8)
+    assert set(p8.aug.tolist()) > {4, 5}  # rot90 modes actually drawn
+    p4 = CropPlanner(32, 48, 8, 64, "random_crop",
+                     rng=np.random.default_rng(0))
+    assert set(p4.aug.tolist()) <= {0, 1, 2, 3}
+
+    from pnnp_tpu.data.datasets import BaseRawDataset, SynDataset
+    assert SynDataset.AUG_MODES == 8 and BaseRawDataset.AUG_MODES == 4
+
+
 def test_build_multidataset(tmp_path):
     make_sid_fixture(tmp_path)
     dst = dict(
