@@ -13,6 +13,7 @@ import os
 
 import numpy as np
 
+from pnnp_tpu.data.crops import CropPlanner
 from pnnp_tpu.data.datasets import BaseRawDataset
 from pnnp_tpu.data.io import dataload
 
@@ -53,12 +54,8 @@ class ImgDataset(BaseRawDataset):
             patch = img[h0 : h0 + p, w0 : w0 + p, :3]
             # syn-family 8-mode aug (rot90 allowed: noise comes later,
             # reference syn_datasets.py:75,101-107)
-            mode = int(self.rng.integers(8))
-            if mode % 4:
-                patch = np.rot90(patch, k=mode % 4, axes=(0, 1))
-            if mode // 4:
-                patch = patch[:, ::-1, :]
-            crops[i] = patch
+            crops[i] = CropPlanner.augment(patch, int(self.rng.integers(8)),
+                                           aug_modes=8)
         return {
             "srgb": crops,
             "name": os.path.basename(self.files[idx]),

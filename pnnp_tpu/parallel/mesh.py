@@ -162,8 +162,15 @@ def spatial_eval_auto(mesh: Mesh, apply_fn, image: jnp.ndarray,
     if Wp // nsp <= halo or Wp - W >= W or Hp - H >= H:
         return apply_fn(image)
     img = image
+    # symmetric split, matching the single-device eval's pad placement
+    # (reference p2d=(4,4,4,4) center-crop, trainer_SID.py:221-226 — see
+    # train.steps.pad_split); the W pad is larger here (%nsp*align), so
+    # border pixels still see more reflect context than single-device, but
+    # the placement convention is the same on all four sides
+    pt, pb = (Hp - H) // 2, Hp - H - (Hp - H) // 2
+    pl, pr = (Wp - W) // 2, Wp - W - (Wp - W) // 2
     if Hp != H or Wp != W:
-        img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)),
+        img = jnp.pad(img, ((0, 0), (pt, pb), (pl, pr), (0, 0)),
                       mode="reflect")
     out = spatial_eval(mesh, apply_fn, img, halo=halo)
-    return out[:, :H, :W, :]
+    return out[:, pt:pt + H, pl:pl + W, :]

@@ -712,8 +712,10 @@ class Trainer:
         dataset = build_dataset(dict(dst, mode="eval"), seed=self.seed)
         out_dir = out_dir or os.path.join(self.sample_dir, "test")
         os.makedirs(out_dir, exist_ok=True)
-        correct = (bool(self.args.get("brightness_correct", True))
-                   and not str(dst.get("dataset", "")).startswith("IMX686"))
+        correct = bool(self.args.get("brightness_correct", True))
+        if (str(dst.get("dataset", "")).startswith("IMX686")
+                and not getattr(self, "_phone_eval_corrects", False)):
+            correct = False  # same gate as eval(): trainer_LRID never corrects
         ori = bool(dst.get("ori", self.dst.get("ori", False)))
 
         def dump_split():
@@ -732,7 +734,10 @@ class Trainer:
                 name = batch["name"][0] if isinstance(batch["name"], list) else str(batch["name"])
                 np.save(os.path.join(out_dir, f"{name}_dn.npy"), np.asarray(dn[0]))
                 if self.save_plot:
-                    self._plot_sample(jnp.clip(lr, 0, 1)[0], dn[0],
+                    lr_p = lr
+                    if ori and "ratio" in batch:  # brighten the input panel
+                        lr_p = lr * jnp.asarray(batch["ratio"]).reshape(-1, 1, 1, 1)
+                    self._plot_sample(jnp.clip(lr_p, 0, 1)[0], dn[0],
                                       jnp.asarray(batch["hr"])[0], batch, name, -1)
                 log(f"[test {k + 1}/{len(loader)}] saved {name}")
 

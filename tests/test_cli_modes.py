@@ -75,6 +75,12 @@ def test_mode_train_runs_full_sweep_with_best_weights(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     make_sid_fixture(tmp_path)
     rf = make_sid_runfile(tmp_path, batch_size=2)
+    # plot_freq=1: the training epoch evals and writes a BEST checkpoint, so
+    # the post-train fall-through really exercises the best-weights restore;
+    # ratio_list pins the sweep to the x100 split (the fixture's 3 scenes all
+    # live there — the dataset's default 250 split would be empty)
+    rf["hyper"]["plot_freq"] = 1
+    rf["dst_eval"]["ratio_list"] = [100]
     path = _write(tmp_path, rf)
 
     from pnnp_tpu.trainer import main as trainer_main
@@ -82,6 +88,11 @@ def test_mode_train_runs_full_sweep_with_best_weights(tmp_path, monkeypatch):
     trainer_main(["-f", path, "--mode", "train", "--debug", "--nofig"])
     with open(f"logs/log_{rf['model_name']}.log") as f:
         logtext = f.read()
-    # the training epoch ran AND the post-training sweep scored (reference
-    # falls through to evaltest with the best checkpoint)
-    assert re.search(r"Epoch -1: PSNR=[\d.]+", logtext), logtext
+    # the training epoch saved a best checkpoint...
+    assert os.path.exists(os.path.join(
+        rf["fast_ckpt"], f"{rf['model_name']}_best_model.ckpt"))
+    # ...and the post-training sweep scored real frames (reference falls
+    # through to evaltest with the best checkpoint)
+    scores = [float(m) for m in
+              re.findall(r"Epoch -1: PSNR=([\d.]+)", logtext)]
+    assert scores and all(s > 0 for s in scores), logtext
