@@ -93,7 +93,7 @@ def spatial_eval(mesh: Mesh, apply_fn, image: jnp.ndarray, halo: int = 32):
     ``image``: [n, H, W, C] with W divisible by the spatial axis size.
     ``apply_fn``: [n, H, w_local, C] -> same shape.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis = "spatial"
     nsp = mesh.shape[axis]
@@ -102,7 +102,7 @@ def spatial_eval(mesh: Mesh, apply_fn, image: jnp.ndarray, halo: int = 32):
     if halo == 0:
         # no halo exchange: shard-local eval ('-0:' slices would grab whole
         # shards and the final de-halo slice would be empty)
-        from jax.experimental.shard_map import shard_map as _sm
+        from jax import shard_map as _sm
 
         return _sm(apply_fn, mesh=mesh, in_specs=P(None, None, axis, None),
                    out_specs=P(None, None, axis, None))(image)
