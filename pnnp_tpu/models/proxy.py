@@ -32,6 +32,7 @@ from typing import NamedTuple, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pnnp_tpu.ops.poisson import poisson_sample
 
@@ -123,6 +124,79 @@ class QuantileHead(nn.Module):
         v = jnp.clip(u - 0.5, -0.5 + 1e-7, 0.5 - 1e-7)
         lap = mu - b * jnp.sign(v) * jnp.log1p(-2.0 * jnp.abs(v))
         return jnp.where(u_choice < pi, lap, core)
+
+    @staticmethod
+    def variance(hp: HeadParams) -> jnp.ndarray:
+        """Closed-form variance of the PWL+Laplace mixture, [n, 1] (ADU^2).
+
+        The PWL core is Q(u) linear on d equal-probability bins, so its first
+        two moments are exact sums over knot segments: E[X] = mean of segment
+        midpoints, E[X^2] = mean of (v_k^2 + v_k v_{k+1} + v_{k+1}^2)/3. The
+        Laplace tail contributes mu = support midpoint and var 2 b^2.
+        """
+        v = hp.knots
+        lo, hi = v[:, :-1], v[:, 1:]
+        m1_core = jnp.mean(0.5 * (lo + hi), axis=-1, keepdims=True)
+        m2_core = jnp.mean((lo * lo + lo * hi + hi * hi) / 3.0, axis=-1,
+                           keepdims=True)
+        mu = 0.5 * (v[:, :1] + v[:, -1:])
+        pi = hp.tail_pi
+        m1 = (1.0 - pi) * m1_core + pi * mu
+        m2 = (1.0 - pi) * m2_core + pi * (mu * mu + 2.0 * hp.tail_b ** 2)
+        return jnp.maximum(m2 - m1 * m1, 0.0)
+
+    @staticmethod
+    def log_prob_conv_gaussian(hp: HeadParams, x: jnp.ndarray,
+                               s: jnp.ndarray) -> jnp.ndarray:
+        """Exact log-density of (mixture convolved with N(0, s^2)) at x.
+
+        Both mixture components convolve in closed form:
+          * PWL core (piecewise-constant density): sum over the d bins of
+            bin_mass(x) / (d * width_k) with bin_mass = Phi((v_{k+1}-x)/s)
+            - Phi((v_k-x)/s).
+          * Laplace tail: the two-sided exponentially-modified Gaussian,
+            (1/4b) e^{r^2} [e^{-t} erfc(r-u) + e^{t} erfc(r+u)] with
+            t=(x-mu)/b, r=s/(b sqrt2), u=(x-mu)/(s sqrt2); evaluated via
+            log_ndtr so large r (heavily-masked rows) stays finite.
+
+        ``s`` broadcasts against ``x``; s -> 0 recovers :meth:`log_prob`.
+        """
+        knots = hp.knots
+        d = knots.shape[-1] - 1
+        n = knots.shape[0]
+        mu = 0.5 * (knots[:, :1] + knots[:, -1:])
+        sq2 = np.sqrt(2.0)
+        s = jnp.maximum(jnp.broadcast_to(jnp.asarray(s, x.dtype), x.shape),
+                        1e-12)
+
+        def per_example(kn, xe, se, mu_e, b_e, pi_e):
+            z = (kn[None, :] - xe[:, None]) / se[:, None]        # [m, d+1]
+            cdf = jax.scipy.special.ndtr(z)
+            width = jnp.maximum(kn[1:] - kn[:-1], 1e-8)[None, :]
+            core = jnp.sum((cdf[:, 1:] - cdf[:, :-1]) / width, axis=-1) / d
+            # Density floor 1e-10 (lp ~ -23): without it, samples far outside
+            # the core support leave core at f32-denormal magnitudes and the
+            # log VJP's 1/core overflows (inf * 0 -> NaN grads, then Adam's
+            # g^2 overflows — observed on the first unseen-ISO batch).
+            # maximum() gives those samples an exactly-zero core cotangent;
+            # the mixture's tail owns them, as it should.
+            lp_core = jnp.log(jnp.maximum(core, 1e-10))
+            t = (xe - mu_e) / b_e
+            r = se / (b_e * sq2)
+            u = (xe - mu_e) / (se * sq2)
+            log2 = np.log(2.0)
+            log_erfc_rpu = log2 + jax.scipy.special.log_ndtr(-(r + u) * sq2)
+            log_erfc_rmu = log2 + jax.scipy.special.log_ndtr(-(r - u) * sq2)
+            lp_tail = (-jnp.log(4.0 * b_e) + r * r
+                       + jnp.logaddexp(t + log_erfc_rpu, -t + log_erfc_rmu))
+            return jnp.logaddexp(jnp.log1p(-pi_e) + lp_core,
+                                 jnp.log(pi_e) + lp_tail)
+
+        pi = jnp.clip(hp.tail_pi, 1e-5, 1.0 - 1e-5)
+        return jax.vmap(per_example)(
+            knots, x.reshape(n, -1), s.reshape(n, -1),
+            mu[:, 0], hp.tail_b[:, 0], pi[:, 0],
+        ).reshape(x.shape)
 
     @staticmethod
     def log_prob(hp: HeadParams, x: jnp.ndarray) -> jnp.ndarray:
@@ -225,6 +299,19 @@ class PixelWiseISOProxy(nn.Module):
         pipeline calibrates sigR vs sigGs from dark frames. In 1-stage mode
         (no row head) the pixel head models the full noise: subtracting an
         unmodeled row mean would silently delete the banding component.
+
+        The observed row mean over W pixels is contaminated by the pixel
+        noise's own mean: m = r + eps, eps ~= N(0, var_px / W) by CLT — and
+        at the calibrated SonyA7S2 ISOs var_px/32 is 1.2-4x var_row, so a
+        row head fit directly on m learns a systematically over-dispersed
+        row law (sampling then re-adds pixel noise, double-counting the
+        contamination; measured as a ~0.1 row-marginal-KLD floor). The row
+        NLL therefore scores m under the row mixture CONVOLVED with the
+        contamination Gaussian (var_px from the pixel head's own closed-form
+        variance, stop-gradient, EM-style) — the head itself learns the
+        deconvolved law and sampling stays exactly consistent. The pixel
+        residual's complementary bias (var deficit 1 - 1/W, shared row mean)
+        gets the matching sqrt(W/(W-1)) scale correction.
         """
         span = self.wp - self.bl
         x = noise * span
@@ -233,14 +320,20 @@ class PixelWiseISOProxy(nn.Module):
         if hp_row is not None:
             wsum_row = jnp.maximum(jnp.sum(w, axis=2, keepdims=True), 1e-6)
             row_mean = jnp.sum(x * w, axis=2, keepdims=True) / wsum_row
-            resid = x - row_mean
+            resid = (x - row_mean) * jnp.sqrt(
+                wsum_row / jnp.maximum(wsum_row - 1.0, 1.0))
         else:
             row_mean = None
             resid = x
         lp_px = QuantileHead.log_prob(hp_px, resid)
         nll_px = -jnp.sum(lp_px * w) / jnp.maximum(jnp.sum(w), 1e-6)
         if hp_row is not None:
-            lp_row = QuantileHead.log_prob(hp_row, row_mean)
+            n = x.shape[0]
+            var_px = jax.lax.stop_gradient(
+                QuantileHead.variance(hp_px)).reshape(n, 1, 1, 1)
+            s_contam = jnp.sqrt(var_px / wsum_row)
+            lp_row = QuantileHead.log_prob_conv_gaussian(
+                hp_row, row_mean, s_contam)
             w_rows = jnp.mean(w, axis=2, keepdims=True)
             nll_row = -jnp.sum(lp_row * w_rows) / jnp.maximum(jnp.sum(w_rows), 1e-6)
         else:

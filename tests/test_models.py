@@ -276,3 +276,106 @@ def test_pixel_shuffle_matches_torch():
     ref_u = torch.pixel_unshuffle(
         torch.from_numpy(y.transpose(0, 3, 1, 2)), 2).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_array_equal(ours_u, ref_u)
+
+
+def test_quantile_head_variance_closed_form():
+    """QuantileHead.variance matches Monte-Carlo over the full mixture."""
+    from pnnp_tpu.models.proxy import HeadParams, QuantileHead
+
+    d = 64
+    # non-uniform monotone knots + a real tail share
+    heights = np.linspace(1.0, 3.0, d)
+    cum = np.concatenate([[0.0], np.cumsum(heights / heights.sum())])
+    knots = jnp.asarray(4.0 * (2.0 * cum - 1.0))[None, :]
+    hp = HeadParams(knots, jnp.log(jnp.full((1, 1), 4.0)),
+                    jnp.full((1, 1), 0.08), jnp.full((1, 1), 3.0))
+    u = jax.random.uniform(jax.random.key(0), (1, 400000),
+                           minval=1e-6, maxval=1 - 1e-6)
+    c = jax.random.uniform(jax.random.key(1), (1, 400000))
+    mc = float(jnp.var(QuantileHead.quantile(hp, u, c)))
+    closed = float(QuantileHead.variance(hp)[0, 0])
+    assert abs(closed - mc) / mc < 0.05, (closed, mc)
+
+
+def test_log_prob_conv_gaussian_exact():
+    """Closed-form Gaussian-convolved density: s->0 limit + analytic check."""
+    from scipy.stats import norm
+
+    from pnnp_tpu.models.proxy import HeadParams, QuantileHead
+
+    d = 64
+    a, s, b, pi = 3.0, 0.8, 2.0, 1e-5
+    knots = jnp.linspace(-a, a, d + 1)[None, :]  # uniform core on [-a, a]
+    hp = HeadParams(knots, jnp.log(jnp.full((1, 1), a)),
+                    jnp.full((1, 1), pi), jnp.full((1, 1), b))
+
+    x = jnp.asarray([[-2.5, -1.0, 0.0, 1.7, 2.9]])
+    np.testing.assert_allclose(
+        np.asarray(QuantileHead.log_prob_conv_gaussian(hp, x, jnp.asarray(1e-9))),
+        np.asarray(QuantileHead.log_prob(hp, x)), atol=1e-4)
+
+    # uniform ⊛ N(0, s²) has the closed form (Φ((a−x)/s) − Φ((−a−x)/s)) / 2a;
+    # at pi=1e-5 the tail term only matters far outside the support
+    xs = np.array([[-3.5, -2.0, 0.0, 2.0, 2.9, 3.5]])
+    got = np.asarray(QuantileHead.log_prob_conv_gaussian(
+        hp, jnp.asarray(xs), jnp.asarray(s)))
+    want = np.log(
+        (1 - pi) * (norm.cdf((a - xs) / s) - norm.cdf((-a - xs) / s)) / (2 * a)
+        + pi * np.exp(-np.abs(xs) / b) / (2 * b))
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+    # gradient path (row-head training) stays finite, incl. huge-s rows
+    def f(kn):
+        hp2 = HeadParams(kn, hp.log_scale, hp.tail_pi, hp.tail_b)
+        return jnp.sum(QuantileHead.log_prob_conv_gaussian(hp2, x, jnp.asarray(0.7)))
+
+    assert bool(jnp.all(jnp.isfinite(jax.grad(f)(knots))))
+    assert bool(jnp.all(jnp.isfinite(
+        QuantileHead.log_prob_conv_gaussian(hp, x, jnp.asarray(4000.0)))))
+
+
+def test_proxy_row_loss_deconvolves_contamination():
+    """The row NLL must favor the TRUE row law over the contaminated one.
+
+    Build synthetic frames x = r + p with known Gaussian row/pixel stds where
+    the pixel-mean contamination var_px/W exceeds var_row (the SonyA7S2
+    regime, see _loss docstring). The deconvolved loss evaluated with the
+    row head pinned near the TRUE row scale must beat the same head pinned
+    at the contaminated scale sqrt(var_row + var_px/W) — the pre-fix
+    optimum.
+    """
+    from pnnp_tpu.models.proxy import HeadParams, PixelWiseISOProxy, QuantileHead
+
+    rng = np.random.default_rng(0)
+    n, h, w, c = 4, 64, 32, 4
+    sig_row, sig_px = 1.0, 8.0
+    span = 16383.0 - 512.0
+    r = rng.normal(0, sig_row, (n, h, 1, c))
+    x = (r + rng.normal(0, sig_px, (n, h, w, c))).astype(np.float32) / span
+
+    proxy = PixelWiseISOProxy(d=128, nf=8, nb=1)
+    pvars = proxy.init({"params": jax.random.key(0), "sample": jax.random.key(1)},
+                       jnp.zeros((1, h, w, 4)), jnp.full((1,), 1600.0))
+
+    def gauss_head_knots(sig, d=128):
+        # PWL quantile of N(0, sig) on d uniform bins (clipped tails)
+        from scipy.stats import norm as snorm
+        u = np.linspace(1e-4, 1 - 1e-4, d + 1)
+        return jnp.asarray(snorm.ppf(u) * sig, jnp.float32)[None, :]
+
+    def row_nll_with_scale(sig):
+        # pin both heads analytically: pixel head at sig_px, row head at sig
+        hp_px = HeadParams(jnp.tile(gauss_head_knots(sig_px), (n, 1)),
+                           jnp.zeros((n, 1)), jnp.full((n, 1), 1e-4),
+                           jnp.full((n, 1), 5.0))
+        hp_row = HeadParams(jnp.tile(gauss_head_knots(sig), (n, 1)),
+                            jnp.zeros((n, 1)), jnp.full((n, 1), 1e-4),
+                            jnp.full((n, 1), 5.0))
+        bound = proxy.bind(pvars)
+        _, aux = bound._loss(jnp.asarray(x), jnp.full((n,), 1600.0),
+                             hp_px, hp_row)
+        return float(aux["nll_row"])
+
+    sig_contaminated = float(np.sqrt(sig_row ** 2 + sig_px ** 2 / w))
+    assert row_nll_with_scale(sig_row) < row_nll_with_scale(sig_contaminated), (
+        row_nll_with_scale(sig_row), row_nll_with_scale(sig_contaminated))

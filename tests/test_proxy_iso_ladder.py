@@ -19,14 +19,17 @@ pytestmark = pytest.mark.slow
 def test_proxy_iso_ladder_acceptance():
     from tools.validate_proxy import main
 
-    rows = main(["--cpu", "--steps", "1500", "--eval-frames", "16"])
+    # 4000 steps: where the deconvolved row loss (see models/proxy.py _loss
+    # docstring) is converged enough for tight bars — measured 4k-step
+    # values: kld <= 0.020 / row_kld <= 0.034 on trained ISOs, held-out
+    # 0.043 / 0.174 (the row stage interpolates slowest; the 20k table in
+    # STATUS.md has it at 0.042).
+    rows = main(["--cpu", "--steps", "4000", "--eval-frames", "16"])
     by_iso = {r["iso"]: r for r in rows}
     assert set(by_iso) == {800, 1600, 3200, 12800, 6400}
     for iso, r in by_iso.items():
-        bar = 0.12 if not r["heldout"] else 0.05
-        assert r["kld"] <= bar, (iso, r)
-        # the row-marginal score must at least be a valid, finite measurement
-        # clearly distinguishable from a broken stage (KLD ~ O(1))
-        assert r["row_kld"] <= 0.6, (iso, r)
+        kld_bar, row_bar = (0.06, 0.08) if not r["heldout"] else (0.08, 0.30)
+        assert r["kld"] <= kld_bar, (iso, r)
+        assert r["row_kld"] <= row_bar, (iso, r)
     # interpolation probe: held-out ISO present and scored
     assert by_iso[6400]["heldout"]

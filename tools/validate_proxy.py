@@ -141,6 +141,10 @@ def main(argv=None):
         fake = proxy.apply({"params": state.params},
                            jnp.zeros((n, p, p, 4)), jnp.full((n,), float(iso)),
                            rngs={"sample": k2}, mode="sample")
+        # Guard against NaN params/samples masquerading as KLD 0.0 (the
+        # histogram of an all-NaN tensor is empty, which scores as a match).
+        if not bool(jnp.all(jnp.isfinite(fake))):
+            return float("nan"), 0.0, float("nan"), 0.0
         kl = lambda x, y: float(kl_div_norm_device(
             x * span, y * span, bl=t["bl"], wp=t["wp"])["kl_sym"])
         # row-marginal: per-(row, channel) means isolate the 2nd stage; its
@@ -164,7 +168,9 @@ def main(argv=None):
         note = "held-out (interpolation)" if r["heldout"] else ""
         print(f"{r['iso']:>7} | {r['kld']:>9.4f} {r['kld_floor']:>7.4f} | "
               f"{r['row_kld']:>8.4f} {r['row_floor']:>7.4f} | {note}")
-    ok = all(r["kld"] <= 0.1 for r in rows if not r["heldout"])
+    ok = (np.isfinite(float(nll))
+          and all(np.isfinite(r["kld"]) and r["kld"] <= 0.1
+                  for r in rows if not r["heldout"]))
     print(json.dumps({"metric": "proxy_iso_ladder", "ok": ok, "rows": rows,
                       "nll": round(float(nll), 4)}))
     return rows
