@@ -98,7 +98,23 @@ def matmul_case(M, K_, N):
 
 
 def main():
+    import sys
+
+    small = "--small" in sys.argv  # API smoke test (CPU-friendly shapes)
+    if small:
+        import jax as _j
+        _j.config.update("jax_platforms", "cpu")
     print("devices:", jax.devices())
+    if small:
+        cases = [
+            ("conv3x3_32x32@64x64", lambda: conv_case(64, 64, 32, 32)),
+            ("matmul_4k_128_128", lambda: matmul_case(4096, 128, 128)),
+        ]
+        for name, fn in cases:
+            dt_b, dt_i, flops = fn()
+            print(json.dumps({"case": name, "bf16_ms": round(dt_b * 1e3, 3),
+                              "int8_ms": round(dt_i * 1e3, 3)}))
+        return
     cases = [
         # the dense-s2d level-1 shape (dominates the 21.1 ms frame)
         ("conv3x3_128x128@712x1064", lambda: conv_case(712, 1064, 128, 128)),
