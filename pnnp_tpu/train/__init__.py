@@ -3,6 +3,7 @@ from pnnp_tpu.train.losses import (
     charbonnier_loss,
     unet_loss,
     unet_dpsv_loss,
+    unet_dpsv_up_loss,
     psnr_loss,
 )
 from pnnp_tpu.train.flow_losses import epe_loss, ternary_loss, sobel_loss

@@ -55,9 +55,29 @@ def pyramid_loss(lows, highs, rate: float = 0.5, charbonnier: bool = False):
 
 
 def unet_dpsv_loss(outputs, target, charbonnier: bool = False):
-    """Deep-supervision loss over [out, out2, out4, out8] (reference: base_loss.py:109-133)."""
+    """Deep-supervision loss over [out, out2, out4, out8].
+
+    Reference semantics (base_loss.py:109-121): an UNWEIGHTED SUM over the
+    scales (Pyramid_Loss with rate=1, norm=False) — distinct from
+    Unet_Loss.pyramid_loss's rate=0.5 normalized mean. Note the upstream
+    class is latent: no trainer instantiates it and every shipped runfile
+    sets use_dpsv False (using it would crash trainer_SID.py:99's
+    pred.clamp on a list); implemented for parity of the config surface.
+    """
     highs = [target] + pyramid_sample(target, max_scale=2 ** (len(outputs) - 1))
-    return pyramid_loss(list(outputs), highs, rate=0.5, charbonnier=charbonnier)
+    return sum(unet_loss(lo, hi, charbonnier)
+               for lo, hi in zip(outputs, highs))
+
+
+def unet_dpsv_up_loss(outputs, target, charbonnier: bool = False):
+    """`Unet_dpsv_Loss_up` (base_loss.py:122-133): the finest target is
+    supervised TWICE (outputs[0] and outputs[1] both score against it), the
+    pyramid only reaching 2^(len-2). Same unweighted-sum semantics; latent
+    upstream, see :func:`unet_dpsv_loss`."""
+    highs = [target, target] + pyramid_sample(
+        target, max_scale=2 ** (len(outputs) - 2))
+    return sum(unet_loss(lo, hi, charbonnier)
+               for lo, hi in zip(outputs, highs))
 
 
 def _grad_kernels():

@@ -81,9 +81,51 @@ def test_eval_step_pads_to_16():
 
 
 def test_dpsv_loss_shapes():
+    # reference Unet_dpsv_Loss is an UNWEIGHTED SUM over scales
+    # (base_loss.py:109-121, Pyramid_Loss rate=1 norm=False)
     outs = tuple(jnp.zeros((1, 16 // s, 16 // s, 4)) for s in (1, 2, 4, 8))
     loss = unet_dpsv_loss(outs, jnp.ones((1, 16, 16, 4)))
-    assert float(loss) == pytest.approx(1.0, rel=1e-5)
+    assert float(loss) == pytest.approx(4.0, rel=1e-5)
+
+
+def test_dpsv_losses_match_torch_oracle():
+    """Both dpsv variants vs a torch replica of base_loss.py:109-133."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from pnnp_tpu.train.losses import unet_dpsv_up_loss
+
+    def pyr_sample(img, max_scale):
+        imgs, sample, power = [], img, 1
+        while 2 ** power <= max_scale:
+            sample = nn.AvgPool2d(2, 2)(sample)
+            imgs.append(sample)
+            power += 1
+        return imgs
+
+    def ref_dpsv(outs, target, up=False):
+        if up:
+            targets = [target, target] + pyr_sample(target, 2 ** (len(outs) - 2))
+        else:
+            targets = [target] + pyr_sample(target, 2 ** (len(outs) - 1))
+        return sum(F.l1_loss(o, t) for o, t in zip(outs, targets))
+
+    rng = np.random.default_rng(0)
+    target = rng.random((2, 4, 32, 32)).astype(np.float32)
+    outs = [rng.random((2, 4, 32 // 2 ** i, 32 // 2 ** i)).astype(np.float32)
+            for i in range(4)]
+    to_t = lambda xs: [torch.from_numpy(x) for x in xs]
+    to_j = lambda xs: [jnp.asarray(x.transpose(0, 2, 3, 1)) for x in xs]
+
+    want = float(ref_dpsv(to_t(outs), torch.from_numpy(target)))
+    got = float(unet_dpsv_loss(to_j(outs), jnp.asarray(target.transpose(0, 2, 3, 1))))
+    assert got == pytest.approx(want, abs=1e-5)
+
+    outs_up = [outs[0]] + outs[:3]
+    want = float(ref_dpsv(to_t(outs_up), torch.from_numpy(target), up=True))
+    got = float(unet_dpsv_up_loss(to_j(outs_up), jnp.asarray(target.transpose(0, 2, 3, 1))))
+    assert got == pytest.approx(want, abs=1e-5)
 
 
 # ---------------------------------------------------------------- data layer
