@@ -1,0 +1,243 @@
+"""Opt-in W8A8 int8 serving path for the packed UNet forward.
+
+v5e's MXU runs s8 x s8 -> s32 at ~2x the bf16 rate; the exact bf16 serving
+path sits at a measured compute roofline (kernels/__init__.py post-mortem
+#5: 21.1 ms/frame = ~19.5 ms conv at XLA's dense rates + ~1.5 ms loop
+floor), so halving the MAC cost of the interior convs is the one remaining
+lever that changes the *math* rather than re-scheduling it. This module
+follows the post-mortem lessons: stride-1 NHWC convs only, zero layout
+changes — quantize/dequantize are elementwise ops XLA fuses into the conv
+prologue/epilogue.
+
+Scheme (standard production W8A8):
+  * weights: per-output-channel symmetric int8 (scale = maxabs/127);
+  * activations: per-tensor static scales from a calibration pass
+    (:func:`calibrate_act_scales` records per-conv-input maxabs over
+    representative frames);
+  * conv: ``lax.conv_general_dilated(s8, s8, preferred_element_type=s32)``,
+    dequantized by the fused per-channel multiplier ``m = s_act * s_w``.
+
+Quantized layers: the interior 3x3 convs (conv1_2, conv2_1 .. conv8_2,
+conv9_1 up+skip, conv9_2) — where ~all the FLOPs are. Kept bf16: conv1_1
+(16-channel input; quantizing the raw frame at 8 bits would swamp the noise
+signal the net must read), the upvN 2x2 transposes, group_max/pool, and the
+1x1 output head (negligible FLOPs, full output fidelity).
+
+Accuracy note: these are EXACT integer kernels (tested against an f64
+oracle), but W8A8 is a lossy representation — the PSNR delta of a trained
+checkpoint must be validated per-model before production use (this
+environment has no real SID/ELD data; see tests for the synthetic-weights
+deviation analysis). The bf16 path (`unet_s2d.py`) remains the default and
+the parity reference.
+
+Reference parity: the reference has no quantized path (torch fp32,
+README.md:18); this is a beyond-parity serving feature.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pnnp_tpu.models.unet_s2d import (
+    _group_max,
+    _lrelu,
+    transform_params_hybrid,
+)
+
+# Conv inputs that get a static activation scale (order = forward order).
+QUANT_LAYERS = (
+    "conv1_2",
+    "conv2_1", "conv2_2", "conv3_1", "conv3_2", "conv4_1", "conv4_2",
+    "conv5_1", "conv5_2",
+    "conv6_1u", "conv6_1s", "conv6_2", "conv7_1u", "conv7_1s", "conv7_2",
+    "conv8_1u", "conv8_1s", "conv8_2",
+    "conv9_1u", "conv9_1s", "conv9_2",
+)
+
+
+def _conv_same(t, kk, prefer=None):
+    return lax.conv_general_dilated(
+        t, kk, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=prefer,
+    )
+
+
+def _walk(tparams, g1, dtype, record=None, qparams=None, record_pct=100.0):
+    """Shared forward skeleton.
+
+    ``record``: dict to fill with per-quant-input maxabs (calibration mode).
+    ``qparams``: quantized params (int8 mode). Exactly one of the two modes
+    is active; with both None this reproduces the bf16 hybrid forward.
+    """
+    k = lambda name: tparams[name]["kernel"]
+    b = lambda name: tparams[name]["bias"]
+
+    def q(x, name):
+        """Observe (calibration) or quantize (int8) a conv input."""
+        if record is not None:
+            ax = jnp.abs(x.astype(jnp.float32))
+            v = (jnp.max(ax) if record_pct >= 100.0
+                 else jnp.percentile(ax.ravel(), record_pct))
+            record[name] = jnp.maximum(record.get(name, 0.0), v)
+        if qparams is not None and name in qparams["act_scale"]:
+            s = qparams["act_scale"][name]
+            return jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                            -127, 127).astype(jnp.int8)
+        return x
+
+    def conv_q(x, name, qname=None):
+        """3x3 SAME conv + bias + LeakyReLU, int8 when quantized."""
+        qname = qname or name
+        xq = q(x, qname)
+        if qparams is not None and qname in qparams["act_scale"]:
+            layer = qparams["layers"][qname]
+            acc = _conv_same(xq, layer["kq"], prefer=jnp.int32)
+            y = acc.astype(jnp.float32) * layer["m"] + layer["bias"]
+            return _lrelu(y).astype(dtype)
+        return _lrelu(_conv_same(x, k(name)) + b(name))
+
+    def dec_conv_q(up_t, skip, name):
+        """Split-add decoder conv; the two halves quantize separately."""
+        if qparams is not None and (name + "u") in qparams["act_scale"]:
+            lu = qparams["layers"][name + "u"]
+            ls = qparams["layers"][name + "s"]
+            acc_u = _conv_same(q(up_t, name + "u"), lu["kq"], prefer=jnp.int32)
+            acc_s = _conv_same(q(skip, name + "s"), ls["kq"], prefer=jnp.int32)
+            y = (acc_u.astype(jnp.float32) * lu["m"]
+                 + acc_s.astype(jnp.float32) * ls["m"] + lu["bias"])
+            return _lrelu(y).astype(dtype)
+        kk = k(name)
+        cu = up_t.shape[-1]
+        q(up_t, name + "u")
+        q(skip, name + "s")
+        h = _conv_same(up_t, kk[:, :, :cu]) + _conv_same(skip, kk[:, :, cu:])
+        return _lrelu(h + b(name))
+
+    up = lambda t, name: lax.conv_transpose(
+        t, k(name), (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b(name)
+    pool = lambda t: lax.reduce_window(
+        t, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    g1 = g1.astype(dtype)
+    c1g = conv_q(_lrelu(_conv_same(g1, k("conv1_1")) + b("conv1_1")), "conv1_2")
+    p1 = _group_max(c1g)
+
+    c2 = conv_q(conv_q(p1, "conv2_1"), "conv2_2")
+    c3 = conv_q(conv_q(pool(c2), "conv3_1"), "conv3_2")
+    c4 = conv_q(conv_q(pool(c3), "conv4_1"), "conv4_2")
+    c5 = conv_q(conv_q(pool(c4), "conv5_1"), "conv5_2")
+    c6 = conv_q(dec_conv_q(up(c5, "upv6"), c4, "conv6_1"), "conv6_2")
+    c7 = conv_q(dec_conv_q(up(c6, "upv7"), c3, "conv7_1"), "conv7_2")
+    c8 = conv_q(dec_conv_q(up(c7, "upv8"), c2, "conv8_1"), "conv8_2")
+
+    ones = jnp.ones(c8.shape[:-1] + (1,), c8.dtype)
+    up9_in = jnp.concatenate([c8, ones], axis=-1)
+    if qparams is not None and "conv9_1u" in qparams["act_scale"]:
+        lu = qparams["layers"]["conv9_1u"]
+        ls = qparams["layers"]["conv9_1s"]
+        acc_u = _conv_same(q(up9_in, "conv9_1u"), lu["kq"], prefer=jnp.int32)
+        acc_s = _conv_same(q(c1g, "conv9_1s"), ls["kq"], prefer=jnp.int32)
+        h9 = _lrelu(acc_u.astype(jnp.float32) * lu["m"]
+                    + acc_s.astype(jnp.float32) * ls["m"]
+                    + lu["bias"]).astype(dtype)
+    else:
+        q(up9_in, "conv9_1u")
+        q(c1g, "conv9_1s")
+        h9 = _lrelu(
+            _conv_same(up9_in, tparams["conv9_1"]["kernel_up"])
+            + _conv_same(c1g, tparams["conv9_1"]["kernel_skip"])
+            + b("conv9_1"))
+    c9g = conv_q(h9, "conv9_2")
+
+    kh = k("conv10_1")[0, 0]
+    n_, h_, w_, c4_ = c9g.shape
+    head = jnp.einsum(
+        "nhwgc,cd->nhwgd", c9g.reshape(n_, h_, w_, 4, c4_ // 4), kh
+    ) + b("conv10_1")
+    return head.reshape(n_, h_, w_, -1)
+
+
+def calibrate_act_scales(tparams: dict, frames: Iterable[jnp.ndarray],
+                         dtype: Any = jnp.bfloat16,
+                         pct: float = 100.0) -> dict:
+    """Per-quant-input activation scales over packed frames.
+
+    ``tparams`` from ``transform_params_hybrid``; ``frames`` an iterable of
+    packed ``[n, H/4, W/4, 16]`` inputs representative of serving traffic.
+    ``pct``: the |x| percentile mapped to 127 (default 100 = maxabs).
+    Percentile clipping trades outlier fidelity for bulk resolution — it
+    helps on real trained checkpoints' heavy-tailed activations, but maxabs
+    measured best on synthetic random-weight smoke inputs; tune per model
+    on calibration data.
+    """
+    record: dict = {}
+    for g1 in frames:
+        rec: dict = {}
+        _walk(tparams, g1, dtype, record=rec, record_pct=pct)
+        for name, v in rec.items():
+            record[name] = max(record.get(name, 0.0), float(v))
+    return {name: max(record.get(name, 0.0), 1e-12) / 127.0
+            for name in QUANT_LAYERS}
+
+
+def quantize_params_int8(tparams: dict, act_scales: dict,
+                         quant: Iterable[str] = QUANT_LAYERS) -> dict:
+    """Per-output-channel int8 weights + fused dequant multipliers.
+
+    Returns a qparams dict consumed by :func:`unet_hybrid_forward_packed_int8`;
+    ``quant`` restricts which layers quantize (ablation knob).
+    """
+    quant = set(quant)
+    layers = {}
+    scales = {}
+
+    def add(qname, kern, bias):
+        kern = jnp.asarray(kern, jnp.float32)
+        sw = jnp.maximum(jnp.max(jnp.abs(kern), axis=(0, 1, 2)), 1e-12) / 127.0
+        sa = float(act_scales[qname])
+        layers[qname] = {
+            "kq": jnp.clip(jnp.round(kern / sw), -127, 127).astype(jnp.int8),
+            "m": (sw * sa).astype(jnp.float32),          # [Cout]
+            "bias": jnp.asarray(bias, jnp.float32),
+        }
+        scales[qname] = sa
+
+    for name in quant:
+        if name.startswith("conv9_1"):
+            if name == "conv9_1u":
+                add("conv9_1u", tparams["conv9_1"]["kernel_up"],
+                    tparams["conv9_1"]["bias"])
+            else:
+                add("conv9_1s", tparams["conv9_1"]["kernel_skip"],
+                    jnp.zeros_like(jnp.asarray(tparams["conv9_1"]["bias"])))
+        elif name[-1] in ("u", "s") and name[:-1] in tparams:
+            base = name[:-1]
+            kk = jnp.asarray(tparams[base]["kernel"], jnp.float32)
+            cu = kk.shape[2] // 2  # split-add: up half = skip half width
+            if name.endswith("u"):
+                add(name, kk[:, :, :cu], tparams[base]["bias"])
+            else:
+                add(name, kk[:, :, cu:],
+                    jnp.zeros_like(jnp.asarray(tparams[base]["bias"])))
+        else:
+            add(name, tparams[name]["kernel"], tparams[name]["bias"])
+    return {"layers": layers, "act_scale": scales}
+
+
+def unet_hybrid_forward_packed_int8(tparams: dict, qparams: dict,
+                                    g1: jnp.ndarray,
+                                    dtype: Any = jnp.bfloat16) -> jnp.ndarray:
+    """W8A8 packed serving forward; same I/O contract as the bf16 path."""
+    return _walk(tparams, g1, dtype, qparams=qparams)
+
+
+def unet_hybrid_forward_packed_ref(tparams: dict, g1: jnp.ndarray,
+                                   dtype: Any = jnp.bfloat16) -> jnp.ndarray:
+    """The _walk skeleton with no quantization — must equal
+    ``unet_s2d.unet_hybrid_forward_packed`` exactly (skeleton-parity test)."""
+    return _walk(tparams, g1, dtype)

@@ -70,6 +70,26 @@ def main():
 
         timed(v_unroll, f"scan body x{kk} sequential")
 
+    # W8A8 interior-int8 serving path (models/unet_s2d_int8.py): the one
+    # lever that changes the MAC cost (s8 MXU rate is ~2x bf16 on v5e).
+    from pnnp_tpu.models.unet_s2d_int8 import (
+        calibrate_act_scales,
+        quantize_params_int8,
+        unet_hybrid_forward_packed_int8,
+    )
+
+    cal = jax.random.uniform(jax.random.key(3), frames.shape[1:]) * 0.3
+    scales = calibrate_act_scales(tparams, [cal])
+    qparams = quantize_params_int8(tparams, scales)
+
+    @jax.jit
+    def v_int8(fr):
+        return jax.lax.map(
+            lambda g: unet_hybrid_forward_packed_int8(
+                tparams, qparams, g).astype(jnp.float32), fr)
+
+    timed(v_int8, "lax.map int8 interior (W8A8)")
+
 
 if __name__ == "__main__":
     main()
