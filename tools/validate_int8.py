@@ -1,0 +1,170 @@
+"""Measured accuracy of the W8A8 int8 serving path on a trained checkpoint.
+
+The int8 module's deviation analysis (tests/test_unet_int8.py) runs on
+random weights, which is a sanity bound, not an accuracy claim. This tool
+produces the real claim: train a UNetSeeInDark checkpoint end-to-end on
+physics-synth noise (the SID 'prq' recipe on procedural scenes — no external
+data needed), then measure the int8-vs-bf16 PSNR delta on held-out frames
+across the SID ratio sweep {100, 250, 300}.
+
+Two-phase usage (training is slow on CPU, ~1.3 s/step):
+    python tools/validate_int8.py --steps 2000          # train + validate
+    python tools/validate_int8.py --skip-train          # reuse checkpoint
+
+Prints one JSON line:
+    {"metric": "int8_psnr_delta", "value": <mean dB delta vs bf16>, ...}
+
+Reference parity: the reference has no quantized path; this validates a
+beyond-parity serving feature (models/unet_s2d_int8.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def train(a, jnp, jax):
+    from pnnp_tpu.models import UNetSeeInDark
+    from pnnp_tpu.train import (
+        build_lr_schedule,
+        create_train_state,
+        make_raw_synth,
+        make_train_step,
+        save_checkpoint,
+    )
+    from tools.demo_train import synthetic_scenes
+
+    rng = np.random.default_rng(1997)
+    model = UNetSeeInDark(nf=32)
+    state = create_train_state(
+        jax.random.key(0), model, jnp.zeros((1, a.patch, a.patch, 4)))
+    lr_schedule = build_lr_schedule(
+        {"lr_scheduler": "WarmupCosine", "learning_rate": 2e-4,
+         "stop_epoch": a.steps, "last_epoch": 0, "step_size": 10, "T": 1})
+    synth = make_raw_synth("SonyA7S2", "prq", ori=False, clip=False)
+    step = make_train_step(model, lr_schedule, synth, clip_mode=2, fast=True)
+
+    key = jax.random.key(1)
+    t0 = time.time()
+    for it in range(1, a.steps + 1):
+        batch = {"hr": jnp.asarray(synthetic_scenes(rng, a.batch, a.patch))}
+        key, k = jax.random.split(key)
+        state, m = step(state, batch, k, it)
+        if it % 100 == 0 or it == 1:
+            print(f"step {it:5d}: loss={float(m['loss']):.4f} "
+                  f"[{(time.time() - t0) / it * 1e3:.0f} ms/step]", flush=True)
+    save_checkpoint(a.ckpt, state.params)
+    print(f"saved {a.ckpt}")
+
+
+def validate(a, jnp, jax):
+    from pnnp_tpu.models.unet_s2d import (
+        d2s,
+        s2d,
+        transform_params_hybrid,
+        unet_hybrid_forward_packed,
+    )
+    from pnnp_tpu.models.unet_s2d_int8 import (
+        calibrate_act_scales,
+        quantize_params_int8,
+        unet_hybrid_forward_packed_int8,
+    )
+    from pnnp_tpu.ops import psnr
+    from pnnp_tpu.physics import generate_noisy, sample_params_max
+    from pnnp_tpu.train import load_checkpoint
+    from tools.demo_train import synthetic_scenes
+
+    params = load_checkpoint(a.ckpt)["params"]
+    tparams = jax.jit(lambda p: transform_params_hybrid(p, jnp.bfloat16))(params)
+    jax.block_until_ready(tparams)
+
+    def noisy(key, hr, ratio):
+        p = sample_params_max(key, "SonyA7S2", n=hr.shape[0], ratio=float(ratio))
+        lr = generate_noisy(jax.random.split(key)[1], hr, p, "prq")
+        return jnp.clip(lr, -np.inf, 1.0)
+
+    # Calibration traffic: separate scenes + noise draws, mixed ratios.
+    cal_rng = np.random.default_rng(7)
+    cal_frames = []
+    for i, ratio in enumerate((100, 250, 300)):
+        hr = jnp.asarray(synthetic_scenes(cal_rng, 1, a.eval_size))
+        cal_frames.append(s2d(noisy(jax.random.key(500 + i), hr, ratio)))
+    scales = calibrate_act_scales(tparams, cal_frames, pct=a.pct)
+    qparams = quantize_params_int8(tparams, scales)
+
+    fwd_b16 = jax.jit(lambda g: d2s(
+        unet_hybrid_forward_packed(tparams, g)).astype(jnp.float32))
+    fwd_int8 = jax.jit(lambda g: d2s(
+        unet_hybrid_forward_packed_int8(tparams, qparams, g)).astype(jnp.float32))
+    fwd_f32 = jax.jit(lambda g: d2s(unet_hybrid_forward_packed(
+        jax.tree.map(lambda t: t.astype(jnp.float32), tparams),
+        g, dtype=jnp.float32)))
+
+    # Held-out frames (seed disjoint from training's 1997 and calibration's 7).
+    ev_rng = np.random.default_rng(42)
+    rows = []
+    for ratio in (100, 250, 300):
+        p32 = p16 = p8 = pin = 0.0
+        for i in range(a.eval_frames):
+            hr = jnp.asarray(synthetic_scenes(ev_rng, 1, a.eval_size))
+            lr = noisy(jax.random.key(1000 + 31 * i + ratio), hr, ratio)
+            g = s2d(lr)
+            m = lambda dn: float(psnr(jnp.clip(dn, 0, 1) * 255, hr * 255))
+            p32 += m(fwd_f32(g)); p16 += m(fwd_b16(g)); p8 += m(fwd_int8(g))
+            pin += m(lr)
+        n = a.eval_frames
+        rows.append({"ratio": ratio, "psnr_in": pin / n, "psnr_f32": p32 / n,
+                     "psnr_bf16": p16 / n, "psnr_int8": p8 / n})
+        r = rows[-1]
+        print(f"x{ratio:<4d} input {r['psnr_in']:6.2f}  f32 {r['psnr_f32']:6.2f}"
+              f"  bf16 {r['psnr_bf16']:6.2f}  int8 {r['psnr_int8']:6.2f}"
+              f"  (int8-bf16 {r['psnr_int8'] - r['psnr_bf16']:+.3f} dB)",
+              flush=True)
+
+    delta = float(np.mean([r["psnr_int8"] - r["psnr_bf16"] for r in rows]))
+    worst = float(np.min([r["psnr_int8"] - r["psnr_bf16"] for r in rows]))
+    print(json.dumps({
+        "metric": "int8_psnr_delta", "value": round(delta, 4), "unit": "dB",
+        "worst_ratio_delta": round(worst, 4),
+        "bf16_vs_f32": round(float(np.mean(
+            [r["psnr_bf16"] - r["psnr_f32"] for r in rows])), 4),
+        "rows": [{k: round(v, 3) if isinstance(v, float) else v
+                  for k, v in r.items()} for r in rows],
+    }))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--patch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--eval-size", type=int, default=512)
+    ap.add_argument("--eval-frames", type=int, default=4)
+    ap.add_argument("--pct", type=float, default=100.0,
+                    help="calibration |x| percentile mapped to 127")
+    ap.add_argument("--ckpt", default="/tmp/pnnp_int8_ckpt.npz")
+    ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    a = ap.parse_args(argv)
+
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    if not a.skip_train:
+        train(a, jnp, jax)
+    validate(a, jnp, jax)
+
+
+if __name__ == "__main__":
+    main()
