@@ -52,10 +52,16 @@ def train(a, jnp, jax):
     synth = make_raw_synth("SonyA7S2", "prq", ori=False, clip=False)
     step = make_train_step(model, lr_schedule, synth, clip_mode=2, fast=True)
 
+    # Pre-generate a scene pool once (host Python scene synthesis is slow on
+    # this 1-core host; the on-device noise resample each step keeps batches
+    # statistically fresh even when clean scenes repeat).
+    pool = [jnp.asarray(synthetic_scenes(rng, a.batch, a.patch))
+            for _ in range(a.pool)]
+
     key = jax.random.key(1)
     t0 = time.time()
     for it in range(1, a.steps + 1):
-        batch = {"hr": jnp.asarray(synthetic_scenes(rng, a.batch, a.patch))}
+        batch = {"hr": pool[(it - 1) % len(pool)]}
         key, k = jax.random.split(key)
         state, m = step(state, batch, k, it)
         if it % 100 == 0 or it == 1:
@@ -146,6 +152,8 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--patch", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--pool", type=int, default=96,
+                    help="distinct host-synth scene batches, cycled")
     ap.add_argument("--eval-size", type=int, default=512)
     ap.add_argument("--eval-frames", type=int, default=4)
     ap.add_argument("--pct", type=float, default=100.0,
