@@ -12,6 +12,11 @@ layout) at the reference SID recipe shape — batch 1 x 8 crops x 512^2
 (runfiles/SonyA7S2/ELD.yml:18-22,62) — reporting ms/step. This makes the
 round-2 63 ms/step claim (and future regressions) reproducible by one
 command. Baseline: the 88 ms/step pre-packing step of round 2.
+
+``python bench.py --int8`` measures the opt-in W8A8 serving path
+(models/unet_s2d_int8.py; interior convs in s8 x s8 -> s32 on the MXU) with
+the same 24-frame lax.map method. Accuracy contract: tools/validate_int8.py
+measures the trained-checkpoint PSNR delta vs the exact bf16 path.
 """
 
 from __future__ import annotations
@@ -27,7 +32,7 @@ BASELINE_MPIX_S = 500.0
 BASELINE_TRAIN_MS = 88.0  # round-2 unpacked train step at the same recipe
 
 
-def main():
+def main(int8: bool = False):
     from pnnp_tpu.models import UNetSeeInDark
     from pnnp_tpu.models.unet_s2d import (
         transform_params_hybrid,
@@ -52,11 +57,28 @@ def main():
     K = 24
     frames = jnp.zeros((K, B, H // 2, W // 2, 16), jnp.float32)
 
-    @jax.jit
-    def run(tp, frames):
-        return jax.lax.map(
-            lambda g: unet_hybrid_forward_packed(tp, g).astype(jnp.float32), frames
+    if int8:
+        from pnnp_tpu.models.unet_s2d_int8 import (
+            calibrate_act_scales,
+            quantize_params_int8,
+            unet_hybrid_forward_packed_int8,
         )
+
+        cal = jax.random.uniform(jax.random.key(3), frames.shape[1:]) * 0.3
+        qparams = quantize_params_int8(
+            tparams, calibrate_act_scales(tparams, [cal]))
+
+        @jax.jit
+        def run(tp, frames):
+            return jax.lax.map(
+                lambda g: unet_hybrid_forward_packed_int8(
+                    tp, qparams, g).astype(jnp.float32), frames)
+    else:
+        @jax.jit
+        def run(tp, frames):
+            return jax.lax.map(
+                lambda g: unet_hybrid_forward_packed(tp, g).astype(jnp.float32),
+                frames)
 
     y = run(tparams, frames)
     float(jnp.sum(y))  # warmup + compile
@@ -74,7 +96,7 @@ def main():
     mpix = B * H * W * 4 / 1e6  # Bayer mosaic megapixels per frame
     mpix_s = mpix / dt
     print(json.dumps({
-        "metric": "unet_denoise_throughput",
+        "metric": "unet_denoise_throughput" + ("_int8" if int8 else ""),
         "value": round(mpix_s, 2),
         "unit": "Mpix/s/chip",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
@@ -140,4 +162,4 @@ if __name__ == "__main__":
     if "--train" in sys.argv:
         main_train()
     else:
-        main()
+        main(int8="--int8" in sys.argv)
