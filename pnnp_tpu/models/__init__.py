@@ -10,4 +10,5 @@ from pnnp_tpu.models.convert import (
 )
 from pnnp_tpu.models import blocks
 from pnnp_tpu.models.unet_s2d import unet_s2d_forward, unet_s2d_forward_pre, transform_params
+from pnnp_tpu.models.unet_s2d_int8 import build_int8_server
 from pnnp_tpu.models import flows

@@ -241,3 +241,29 @@ def unet_hybrid_forward_packed_ref(tparams: dict, g1: jnp.ndarray,
     """The _walk skeleton with no quantization — must equal
     ``unet_s2d.unet_hybrid_forward_packed`` exactly (skeleton-parity test)."""
     return _walk(tparams, g1, dtype)
+
+
+def build_int8_server(params: dict, cal_frames: Iterable[jnp.ndarray],
+                      dtype: Any = jnp.bfloat16, pct: float = 100.0):
+    """One-call serving constructor: raw model params -> jitted packed fn.
+
+    ``params``: UNetSeeInDark variables['params'] (as trained / converted);
+    ``cal_frames``: packed ``[n, H/2, W/2, 16]`` frames representative of
+    serving traffic (a handful is enough for the per-tensor static scales).
+    Returns ``serve(g1) -> denoised`` in the packed layout, jitted, with the
+    calibration and weight quantization done once here.
+
+    Accuracy must be validated per checkpoint (tools/validate_int8.py
+    measures the PSNR delta vs the exact bf16 path on held-out frames).
+    """
+    from pnnp_tpu.models.unet_s2d import transform_params_hybrid
+
+    tparams = jax.jit(lambda p: transform_params_hybrid(p, dtype))(params)
+    qparams = quantize_params_int8(
+        tparams, calibrate_act_scales(tparams, cal_frames, dtype, pct))
+
+    @jax.jit
+    def serve(g1: jnp.ndarray) -> jnp.ndarray:
+        return unet_hybrid_forward_packed_int8(tparams, qparams, g1, dtype)
+
+    return serve
