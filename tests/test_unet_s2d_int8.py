@@ -95,6 +95,22 @@ def test_int8_forward_end_to_end(setup):
     assert cc > 0.995, cc
 
 
+def test_build_int8_server(setup):
+    """One-call constructor: raw params -> jitted packed serve fn."""
+    from pnnp_tpu.models import build_int8_server
+
+    _, g1 = setup
+    model = UNetSeeInDark(nf=32)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 4)))["params"]
+    params = jax.tree.map(lambda a: a * 5.0, params)
+    serve = build_int8_server(params, [g1])
+    out = np.asarray(serve(g1), np.float32)
+    tparams = transform_params_hybrid(params, jnp.bfloat16)
+    ref = np.asarray(unet_hybrid_forward_packed(tparams, g1), np.float32)
+    assert out.shape == ref.shape and np.isfinite(out).all()
+    assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.995
+
+
 def test_int8_partial_quant_ablation(setup):
     """Restricting `quant` leaves the other layers on the bf16 path."""
     tparams, g1 = setup
