@@ -355,8 +355,13 @@ def pad_to_multiple(x: jnp.ndarray, mult: int = 16):
     return x, (pt, pl, H, W)
 
 
-def make_eval_metrics_step(model):
+def make_eval_metrics_step(model, qparams: dict | None = None):
     """Fused full-frame eval: forward + ALL metrics in ONE jit, layout-aware.
+
+    ``qparams`` (from ``pnnp_tpu.models.unet_s2d_int8.quantize_params_int8``)
+    swaps the forward for the opt-in W8A8 int8 serving path — metrics and
+    correction stay f32; validate the per-checkpoint PSNR delta first
+    (tools/validate_int8.py).
 
     The reference computes eval metrics on CPU via skimage
     (trainer_SID.py:242-248); the round-2 rebuild moved them on-device but
@@ -385,9 +390,18 @@ def make_eval_metrics_step(model):
     """
     from pnnp_tpu.kernels.ssim import ssim_flat
     from pnnp_tpu.models.unet_s2d import d2s, s2d
-    from pnnp_tpu.models.unet_s2d import unet_hybrid_forward_packed as fwd
 
     res = bool(getattr(model, "res", False))
+    if qparams is None:
+        from pnnp_tpu.models.unet_s2d import unet_hybrid_forward_packed as fwd
+    else:
+        assert not res, "int8 serving path has no residual-input support"
+        from pnnp_tpu.models.unet_s2d_int8 import (
+            unet_hybrid_forward_packed_int8,
+        )
+
+        def fwd(tp, g1, res_x=None):
+            return unet_hybrid_forward_packed_int8(tp, qparams, g1)
 
     def step(tparams, lr, hr, ratio, *, ori=False, correct=True,
              with_inputs=False):

@@ -34,6 +34,9 @@ def main():
                     help="feed host pre-packed frames (pack_frame_np), the "
                          "production loader-worker path — measures the step "
                          "with the on-device input s2d removed")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 interior serving path (unet_s2d_int8); "
+                         "metrics stay f32")
     a = ap.parse_args()
 
     from pnnp_tpu.models import UNetSeeInDark
@@ -45,7 +48,16 @@ def main():
     state = create_train_state(jax.random.key(0), model,
                                jnp.zeros((1, 64, 64, 4)))
     tp = jax.jit(lambda p: transform_params_hybrid(p))(state.params)
-    step = make_eval_metrics_step(model)
+    qparams = None
+    if a.int8:
+        from pnnp_tpu.models.unet_s2d_int8 import (
+            calibrate_act_scales,
+            quantize_params_int8,
+        )
+
+        cal = jax.random.uniform(jax.random.key(3), (1, 712, 1064, 16)) * 0.3
+        qparams = quantize_params_int8(tp, calibrate_act_scales(tp, [cal]))
+    step = make_eval_metrics_step(model, qparams=qparams)
 
     for cam, H, W in SHAPES:
         h, w = H // 2, W // 2
@@ -88,7 +100,8 @@ def main():
         print(json.dumps({
             "camera": cam,
             "mosaic": f"{H}x{W}",
-            "path": "fused-hybrid" + ("-packed-in" if a.packed else ""),
+            "path": ("fused-hybrid" + ("-packed-in" if a.packed else "")
+                     + ("-int8" if a.int8 else "")),
             "ms_per_frame": round(dt * 1e3, 2),
             "mpix_s": round(mpix / dt, 1),
             "compile_s": round(compile_s, 1),
