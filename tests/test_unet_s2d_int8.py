@@ -111,6 +111,27 @@ def test_build_int8_server(setup):
     assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.995
 
 
+def test_int8_fused_eval_step(setup):
+    """make_eval_metrics_step(qparams=...) swaps in the W8A8 forward."""
+    from pnnp_tpu.train import create_train_state
+    from pnnp_tpu.train.steps import make_eval_metrics_step
+
+    model = UNetSeeInDark(nf=32)
+    st = create_train_state(jax.random.key(0), model, jnp.zeros((1, 64, 64, 4)))
+    tp = transform_params_hybrid(st.params)
+    cal = jax.random.uniform(jax.random.key(3), (1, 32, 32, 16)) * 0.3
+    qp = quantize_params_int8(tp, calibrate_act_scales(tp, [cal]))
+
+    lr = jax.random.uniform(jax.random.key(1), (1, 60, 92, 4)) * 0.4
+    hr = jax.random.uniform(jax.random.key(2), (1, 60, 92, 4))
+    kw = dict(ori=False, correct=True, with_inputs=False)
+    dn8, m8 = make_eval_metrics_step(model, qparams=qp)(
+        tp, lr, hr, jnp.float32(1.0), **kw)
+    dn16, m16 = make_eval_metrics_step(model)(tp, lr, hr, jnp.float32(1.0), **kw)
+    assert dn8.shape == dn16.shape and np.isfinite(np.asarray(dn8)).all()
+    assert abs(float(m8["psnr"]) - float(m16["psnr"])) < 0.5
+
+
 def test_int8_partial_quant_ablation(setup):
     """Restricting `quant` leaves the other layers on the bf16 path."""
     tparams, g1 = setup
