@@ -168,7 +168,8 @@ def calibrate_act_scales(tparams: dict, frames: Iterable[jnp.ndarray],
     """Per-quant-input activation scales over packed frames.
 
     ``tparams`` from ``transform_params_hybrid``; ``frames`` an iterable of
-    packed ``[n, H/4, W/4, 16]`` inputs representative of serving traffic.
+    packed ``[n, H/2, W/2, 16]`` inputs representative of serving traffic
+    (H, W = RGGB-frame dims, the ``unet_s2d.s2d`` convention).
     ``pct``: the |x| percentile mapped to 127 (default 100 = maxabs).
     Percentile clipping trades outlier fidelity for bulk resolution — it
     helps on real trained checkpoints' heavy-tailed activations, but maxabs

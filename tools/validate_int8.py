@@ -67,6 +67,10 @@ def train(a, jnp, jax):
         if it % 100 == 0 or it == 1:
             print(f"step {it:5d}: loss={float(m['loss']):.4f} "
                   f"[{(time.time() - t0) / it * 1e3:.0f} ms/step]", flush=True)
+        if it % 500 == 0:
+            # periodic save: CPU fallback runs on the 1-core host take hours,
+            # so an interrupted run must still leave a scoreable checkpoint
+            save_checkpoint(a.ckpt, state.params)
     save_checkpoint(a.ckpt, state.params)
     print(f"saved {a.ckpt}")
 
