@@ -66,7 +66,7 @@ def main(int8: bool = False):
 
         cal = jax.random.uniform(jax.random.key(3), frames.shape[1:]) * 0.3
         qparams = quantize_params_int8(
-            tparams, calibrate_act_scales(tparams, [cal]))
+            tparams, calibrate_act_scales(tparams, [cal], pct=99.95))
 
         @jax.jit
         def run(tp, frames):
