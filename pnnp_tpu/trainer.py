@@ -93,12 +93,17 @@ class Parser:
         # config.load_runfile(root_prefix=...) covers remapping.
         p.add_argument("--nohost", action="store_true")
         p.add_argument("--gpu", default="0")  # accepted for CLI parity; unused on TPU
+        # Beyond-parity: serve eval/test forwards through the W8A8 int8 path
+        # (models/unet_s2d_int8.py; accuracy-neutral at the validated default
+        # calibration, tools/validate_int8.py). Requires the fused eval path.
+        p.add_argument("--int8", action="store_true")
         return p.parse_args(argv)
 
 
 class Trainer:
     def __init__(self, runfile: str, mode: Optional[str] = None, nofig: bool = False,
-                 debug: bool = False, root_prefix: Optional[str] = None, seed: int = 1997):
+                 debug: bool = False, root_prefix: Optional[str] = None, seed: int = 1997,
+                 int8: bool = False):
         self.args = load_runfile(runfile, mode=mode, root_prefix=root_prefix)
         self.mode = self.args["mode"]
         self.dst = self.args["dst"]
@@ -106,6 +111,7 @@ class Trainer:
         self.arch = self.args["arch"]
         self.model_name = self.args["model_name"]
         self.save_plot = not nofig
+        self.int8_eval = bool(int8)
         self.debug = debug
         self.seed = seed
         self.rng = jax.random.key(seed)
@@ -204,6 +210,7 @@ class Trainer:
             and not self.args.get("disable_fused_eval", False) else None
         )
         self._fused_tp_cache = {"params": None, "tp": None}
+        self._int8_cache = {"params": None, "step": None}
         self._place_state()
 
         # --- meters --------------------------------------------------------
@@ -408,6 +415,35 @@ class Trainer:
             c["tp"] = jax.jit(transform_params_hybrid)(self.state.params)
         return c["tp"]
 
+    def _int8_eval_step(self, lr_first):
+        """Fused eval step served through the W8A8 path (--int8), calibrated
+        lazily per param tree from the first eval frame at the validated
+        default percentile (models/unet_s2d_int8.py, tools/validate_int8.py).
+        Static per-tensor scales are a serving-traffic property, so one
+        representative full frame is sufficient calibration traffic."""
+        c = self._int8_cache
+        if c["params"] is not self.state.params:
+            from pnnp_tpu.models.unet_s2d import s2d
+            from pnnp_tpu.models.unet_s2d_int8 import (
+                calibrate_act_scales,
+                quantize_params_int8,
+            )
+            from pnnp_tpu.train.steps import pad_to_multiple
+
+            tp = self._fused_tp()
+            x = lr_first
+            if x.ndim == 3:  # flat [1, H, W*4] host view
+                x = x.reshape(1, x.shape[1], -1, 4)
+            if x.shape[-1] == 16 and getattr(self.model, "in_nc", 4) == 4:
+                g1 = x  # loader already pre-packed the frame
+            else:
+                g1 = s2d(pad_to_multiple(x, 16)[0])
+            qp = quantize_params_int8(
+                tp, calibrate_act_scales(tp, [g1], pct=99.95))
+            c["params"] = self.state.params
+            c["step"] = make_eval_metrics_step(self.model, qparams=qp)
+        return c["step"]
+
     def _forward_full(self, lr):
         """Full-frame denoise: width-sharded with halo exchange over the
         spatial mesh when >1 device, single-device eval step otherwise."""
@@ -555,6 +591,11 @@ class Trainer:
             brightness_correct = False
         ori = bool(self.dst_eval.get("ori", self.dst.get("ori", False)))
         self.rgb_metrics = bool(self.args.get("rgb_metrics", False))
+        if self.int8_eval and (self._fused_eval is None or self.rgb_metrics):
+            raise ValueError(
+                "--int8 eval serves through the fused single-device raw-"
+                "domain path: it requires the fast UNetSeeInDark arch, no "
+                "spatial sharding, no disable_fused_eval, and no rgb_metrics")
 
         # When the fused step will consume the frames and no plots need the
         # unpacked input, prefetch workers pre-pack lr (%16 reflect pad +
@@ -583,7 +624,9 @@ class Trainer:
             if fused:
                 # the fused step pads/packs internally and returns the
                 # corrected frame channel-interleaved flat [1, H, W*4]
-                dnf, m = self._fused_eval(
+                step_fn = (self._int8_eval_step(lr) if self.int8_eval
+                           else self._fused_eval)
+                dnf, m = step_fn(
                     self._fused_tp(), lr, hr,
                     jnp.asarray(batch["ratio"]).reshape(-1)[0],
                     ori=ori, correct=bool(brightness_correct and epoch < 0),
@@ -799,7 +842,8 @@ def eval_sweep(trainer, ds, ratios):
 
 def main(argv=None):
     p = Parser.parse(argv)
-    trainer = Trainer(p.runfile, mode=p.mode, nofig=p.nofig, debug=p.debug)
+    trainer = Trainer(p.runfile, mode=p.mode, nofig=p.nofig, debug=p.debug,
+                      int8=p.int8)
     mode = trainer.mode
     if mode in ("train", "trainonly"):
         trainer.train()

@@ -182,3 +182,79 @@ def test_runtime_error_recovery(tmp_path, monkeypatch):
     leaf = np.asarray(jax.tree_util.tree_leaves(t.state.params)[0])
     assert np.isfinite(leaf).all()
     assert t.ckpt.restore("last") is not None
+
+
+def test_trainer_int8_eval(tmp_path, monkeypatch):
+    """--int8 serves eval through the W8A8 fused path (lazy per-params
+    calibration at the validated default percentile) and lands within the
+    validated PSNR envelope of the exact bf16 eval on the same frames."""
+    monkeypatch.chdir(tmp_path)
+    make_sid_fixture(tmp_path, n_scenes=2, H=32, W=48)
+    with open(tmp_path / "infos" / "SID_eval.info", "rb") as f:
+        infos = pickle.load(f)
+    big = []
+    for k in range(120):
+        e = dict(infos[k % len(infos)])
+        e["short"], e["ratio"] = e["short"][0], e["ratio"][0]
+        big.append(e)
+    with open(tmp_path / "infos" / "SID_eval.info", "wb") as f:
+        pickle.dump(big, f)
+
+    runfile = {
+        "mode": "eval", "checkpoint": "saved_model/T",
+        "fast_ckpt": "checkpoints/T",
+        "model_name": "I8_Unet", "num_workers": 0,
+        "brightness_correct": True,
+        "dst": {"dataset": "SID_Dataset", "dstname": "SID", "command": "",
+                "camera_type": "SonyA7S2", "noise_code": "pr",
+                "patch_size": 8, "H": 32, "W": 48, "crop_per_image": 1,
+                "croptype": "random_crop", "wp": 16383, "bl": 512,
+                "ori": False, "clip": 2,
+                "infos_dir": str(tmp_path / "infos")},
+        "arch": {"name": "UNetSeeInDark", "nf": 4, "nframes": 1},
+        "hyper": {"lr_scheduler": "fixed", "learning_rate": 1e-4,
+                  "batch_size": 1, "stop_epoch": 1, "last_epoch": 0,
+                  "save_freq": 1, "plot_freq": 1, "best_psnr": 0},
+    }
+    runfile["dst_eval"] = dict(runfile["dst"], mode="eval")
+    with open(tmp_path / "i8.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+
+    from pnnp_tpu.train.steps import make_eval_metrics_step
+    from pnnp_tpu.trainer import Trainer
+
+    def force_fused(t):
+        # conftest exposes 8 virtual devices; force the single-chip fused
+        # branch the way a one-TPU serving run selects it (same pattern as
+        # test_eval_metrics_step.test_trainer_eval_fused_matches_sharded_path)
+        t.mesh_spatial = None
+        t._fused_eval = make_eval_metrics_step(t.model)
+        return t
+
+    t16 = force_fused(Trainer(str(tmp_path / "i8.yml"), mode="eval",
+                              nofig=True, debug=True))
+    t16.dataset_eval.change_eval_ratio(100)
+    t16.eval(-1)
+
+    t8 = force_fused(Trainer(str(tmp_path / "i8.yml"), mode="eval",
+                             nofig=True, debug=True, int8=True))
+    t8.dataset_eval.change_eval_ratio(100)
+    t8.eval(-1)
+    assert t8._int8_cache["step"] is not None  # int8 path actually served
+    assert t8.eval_psnr.count == t16.eval_psnr.count > 0
+    assert np.isfinite(t8.eval_psnr.avg)
+    # random-init weights at nf=4 are a far harsher quantization target than
+    # a trained checkpoint (validated at +-0.05 dB); this guards wiring, not
+    # accuracy
+    assert abs(t8.eval_psnr.avg - t16.eval_psnr.avg) < 1.0, (
+        t8.eval_psnr.avg, t16.eval_psnr.avg)
+
+    # rgb_metrics is incompatible with the raw-domain int8 fused path
+    runfile["rgb_metrics"] = True
+    with open(tmp_path / "i8rgb.yml", "w") as f:
+        yaml.safe_dump(runfile, f)
+    trgb = Trainer(str(tmp_path / "i8rgb.yml"), mode="eval", nofig=True,
+                   debug=True, int8=True)
+    trgb.dataset_eval.change_eval_ratio(100)
+    with pytest.raises(ValueError, match="raw-domain"):
+        trgb.eval(-1)
