@@ -49,7 +49,13 @@ def train(a, jnp, jax):
     lr_schedule = build_lr_schedule(
         {"lr_scheduler": "WarmupCosine", "learning_rate": 2e-4,
          "stop_epoch": a.steps, "last_epoch": 0, "step_size": 10, "T": 1})
-    synth = make_raw_synth("SonyA7S2", "prq", ori=False, clip=False)
+    if a.camera == "IMX686":
+        # the trainer_LRID.py:399-418 law: point ISO-6400 calibration with
+        # only K jittered, linear ratio ~ U(1,16)
+        synth = make_raw_synth("IMX686", "prq", ori=False, clip=False,
+                               iso=6400, lrid=True)
+    else:
+        synth = make_raw_synth("SonyA7S2", "prq", ori=False, clip=False)
     step = make_train_step(model, lr_schedule, synth, clip_mode=2, fast=True)
 
     # Pre-generate a scene pool once (host Python scene synthesis is slow on
@@ -96,15 +102,24 @@ def validate(a, jnp, jax):
     tparams = jax.jit(lambda p: transform_params_hybrid(p, jnp.bfloat16))(params)
     jax.block_until_ready(tparams)
 
+    ratios = (1, 2, 4, 8, 16) if a.camera == "IMX686" else (100, 250, 300)
+
     def noisy(key, hr, ratio):
-        p = sample_params_max(key, "SonyA7S2", n=hr.shape[0], ratio=float(ratio))
+        if a.camera == "IMX686":
+            p = sample_params_max(key, "IMX686", n=hr.shape[0],
+                                  ratio=float(ratio), iso=6400,
+                                  jitter_sigmas=False)
+        else:
+            p = sample_params_max(key, "SonyA7S2", n=hr.shape[0],
+                                  ratio=float(ratio))
         lr = generate_noisy(jax.random.split(key)[1], hr, p, "prq")
         return jnp.clip(lr, -np.inf, 1.0)
 
     # Calibration traffic: separate scenes + noise draws, mixed ratios.
     cal_rng = np.random.default_rng(7)
     cal_frames = []
-    for i, ratio in enumerate((100, 250, 300)):
+    cal_ratios = (1, 4, 16) if a.camera == "IMX686" else ratios
+    for i, ratio in enumerate(cal_ratios):
         hr = jnp.asarray(synthetic_scenes(cal_rng, 1, a.eval_size))
         cal_frames.append(s2d(noisy(jax.random.key(500 + i), hr, ratio)))
 
@@ -128,7 +143,7 @@ def validate(a, jnp, jax):
     # Held-out frames (seed disjoint from training's 1997 and calibration's 7).
     ev_rng = np.random.default_rng(42)
     rows = {pct: [] for pct in pcts}
-    for ratio in (100, 250, 300):
+    for ratio in ratios:
         p32 = p16 = pin = 0.0
         p8 = {pct: 0.0 for pct in pcts}
         for i in range(a.eval_frames):
@@ -160,7 +175,7 @@ def validate(a, jnp, jax):
     delta, worst = summary(rows[best])
     print(json.dumps({
         "metric": "int8_psnr_delta", "value": round(delta, 4), "unit": "dB",
-        "cal_pct": best,
+        "camera": a.camera, "cal_pct": best,
         "worst_ratio_delta": round(worst, 4),
         "bf16_vs_f32": round(float(np.mean(
             [r["psnr_bf16"] - r["psnr_f32"] for r in rows[best]])), 4),
@@ -184,6 +199,10 @@ def main(argv=None):
     ap.add_argument("--pct", default="100",
                     help="calibration |x| percentile(s) mapped to 127; "
                          "comma-separated sweeps share the bf16/f32 evals")
+    ap.add_argument("--camera", default="SonyA7S2",
+                    choices=("SonyA7S2", "IMX686"),
+                    help="IMX686 uses the LRID law (point ISO-6400, only K "
+                         "jittered) and the dgain ladder {1,2,4,8,16}")
     ap.add_argument("--ckpt", default="/tmp/pnnp_int8_ckpt.npz")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
