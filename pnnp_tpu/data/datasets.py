@@ -581,17 +581,55 @@ DATASET_REGISTRY = {
     "TestDataset": TestDataset,
 }
 
+# Multi_* indoor+X mixers (reference data_process/__init__.py:42-141):
+# base = the 'indoor' variant at full crop_per_image, extra = the configured
+# dstname variant at crop_per_image//4, mixed through MixedSubsetDataset
+# (Multi_Sync's concat-4 semantics; the reference's Multi_Real returns the
+# extra items individually with a RAGGED leading crop dim, which would force
+# per-shape recompiles under jit — the concat form covers the same items at
+# the same 1/4 sampling weight with one static shape). Name -> (base dataset
+# name, extra dataset name). NOTE: the reference classes themselves are
+# legacy — their positional-arg constructors no longer match their
+# constituents' args-dict constructors — so only the name + mixing contract
+# is reproduced here.
+_MULTI_MIXER_MAP = {
+    "Multi_Real_Dataset": ("Real_Dataset", "Real_Dataset"),
+    "Multi_Sync_Dataset": ("Img_Dataset", "Mix_Dataset"),
+    "Multi_Mix_Dataset": ("Mix_Dataset", "Mix_Dataset"),
+    "Multi_Uproc_Dataset": ("Img_Dataset", "Img_Dataset"),
+}
+
 
 def build_dataset(dst: dict, seed: int = 1997):
     """Reference-style name dispatch (trainer_SID.py:48)."""
     name = dst["dataset"]
     registry = dict(DATASET_REGISTRY)
-    if name.startswith("IMX686") or name == "Real_Dataset":
+    from pnnp_tpu.data.extra import ImgDataset, MixedSubsetDataset
+
+    registry["Img_Dataset"] = ImgDataset
+    if (name.startswith("IMX686") or name == "Real_Dataset"
+            or dst.get("camera_type") == "IMX686"):
         registry.update(_phone_registry())
     if name == "MultiDataset":
         subs = [build_dataset(dict(dst, dataset=n, dstname=d), seed=seed)
                 for n, d in zip(dst["datasets"], dst["dstnames"])]
         return MultiDataset(subs)
+    if name in _MULTI_MIXER_MAP:
+        base_name, extra_name = _MULTI_MIXER_MAP[name]
+        dstname = dst.get("dstname", "indoor")
+        base_args = dict(dst, dataset=base_name, dstname="indoor")
+        if isinstance(base_args.get("root_dir"), str) and dstname != "indoor":
+            base_args["root_dir"] = base_args["root_dir"].replace(
+                dstname, "indoor")
+        cpi = int(dst.get("crop_per_image", 8))
+        if cpi % 4 != 0:
+            raise ValueError(
+                f"{name}: crop_per_image={cpi} must be divisible by the "
+                "extra_rate=4 mixing contract (data_process/__init__.py:76-87)")
+        extra_args = dict(dst, dataset=extra_name, crop_per_image=cpi // 4)
+        return MixedSubsetDataset(
+            build_dataset(base_args, seed=seed),
+            build_dataset(extra_args, seed=seed), extra_rate=4)
     if name not in registry:
         raise KeyError(f"unknown dataset '{name}'")
     return registry[name](dst, seed=seed)

@@ -59,6 +59,18 @@ class PhoneBaseDataset(BaseRawDataset):
     def __init__(self, args=None, seed: int = 1997):
         super().__init__(args, seed)
         self.iso = 6400
+        # user-recalibrated per-ISO noise params (reference
+        # phone_datasets.py:99-112): {ds_dir}/noiseparam-iso-{iso}.h5 when
+        # present; otherwise synth falls back to the baked published tables
+        self.noiseparam = {}
+        if self.args["mode"] == "train":
+            from pnnp_tpu.physics.calibration import load_noiseparam_h5
+
+            np_h5 = load_noiseparam_h5(self.args.get("ds_dir"), self.iso)
+            if np_h5 is not None:
+                self.noiseparam[self.iso] = np_h5
+                log(f"Loaded noiseparam-iso-{self.iso}.h5 calibration "
+                    f"from {self.args['ds_dir']}")
         self._load_phone_infos()
         self._data_split()
         self.change_ratio_list(list(self.args["ratio_list"]))

@@ -148,3 +148,64 @@ def iso_index(camera_type: str, iso) -> int:
     if len(idx) == 0:
         raise KeyError(f"ISO {iso} not calibrated for {camera_type}")
     return int(idx[0])
+
+
+# -- user-supplied per-ISO calibration (noiseparam-iso-N.h5) -----------------
+# Constants the reference hardcodes alongside the h5-derived values
+# (reference: data_process/phone_datasets.py:99-112 — K/"Kmax" and the
+# per-channel read bias are NOT read from the file).
+IMX686_NOISEPARAM_KMAX = 8.7425333
+IMX686_NOISEPARAM_BIAS = np.array(
+    [-0.08113494, -0.04906388, -0.9408157, -1.2048522], np.float32)
+
+
+def load_noiseparam_h5(ds_dir, iso: int = 6400):
+    """Load a user's per-ISO IMX686 calibration file if present.
+
+    Mirrors reference phone_datasets.py:99-112: reads
+    ``{ds_dir}/noiseparam-iso-{iso}.h5`` and reduces the per-frame calibration
+    arrays to the sampling-law parameters (means + jitter stds). Returns the
+    noiseparam dict, or None when ``ds_dir`` is unset / the file is absent
+    (callers then fall back to the baked ``ISO_TABLES`` values derived from
+    the published calibration).
+    """
+    import os
+
+    if not ds_dir:
+        return None
+    path = os.path.join(ds_dir, f"noiseparam-iso-{iso}.h5")
+    if not os.path.exists(path):
+        return None
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        lam = np.asarray(f["lam"])
+        sigGs = np.asarray(f["sigmaGs"])
+        sigTL = np.asarray(f["sigmaTL"])
+        sigR = np.asarray(f["sigmaR"])
+        mean_read = np.asarray(f["meanRead"])
+    return {
+        "K": IMX686_NOISEPARAM_KMAX,
+        "lam": float(np.mean(lam)),
+        "sigGs": float(np.mean(sigGs)), "sigGssig": float(np.std(sigGs)),
+        "sigTL": float(np.mean(sigTL)), "sigTLsig": float(np.std(sigTL)),
+        "sigR": float(np.mean(sigR)), "sigRsig": float(np.std(sigR)),
+        "bias": IMX686_NOISEPARAM_BIAS.copy(),
+        "biassig": np.std(mean_read, axis=1).astype(np.float32),
+        "q": 1 / 2**10, "wp": 1023, "bl": 64,
+    }
+
+
+def table_with_noiseparam(camera_type: str, iso, noiseparam: dict):
+    """Copy of ``ISO_TABLES[camera_type]`` with the row for ``iso`` replaced
+    by a user-supplied noiseparam dict (see :func:`load_noiseparam_h5`)."""
+    base = ISO_TABLES[camera_type]
+    i = iso_index(camera_type, iso)
+    table = {k: (np.array(v, copy=True) if isinstance(v, np.ndarray) else v)
+             for k, v in base.items()}
+    table["Kmax"][i] = noiseparam["K"]
+    for k in ("lam", "sigGs", "sigGssig", "sigTL", "sigTLsig", "sigR",
+              "sigRsig"):
+        table[k][i] = noiseparam[k]
+    table["bias"][i] = np.asarray(noiseparam["bias"], np.float32)
+    return table

@@ -34,6 +34,7 @@ def sample_params_max(
     ratio: Optional[jnp.ndarray] = None,
     iso: Optional[object] = None,
     jitter_sigmas: bool = True,
+    table: Optional[dict] = None,
 ) -> dict:
     """Batched port of ``sample_params_max`` (reference: process.py:311-351).
 
@@ -47,16 +48,20 @@ def sample_params_max(
     * ``jitter_sigmas=False`` (point branch only): keep sigGs/sigTL/sigR at
       their calibrated means — the trainer_LRID.py:404-408 law, which copies
       the dataset's measured ISO-6400 NLF and perturbs ONLY K.
+    * ``table`` (point branch only): an ``ISO_TABLES``-shaped dict overriding
+      the baked calibration — the user-h5 path
+      (:func:`calibration.table_with_noiseparam`).
     """
     ks = jax.random.split(key, 8)
 
-    if iso is not None and camera_type not in calib.ISO_TABLES:
+    if iso is not None and table is None and camera_type not in calib.ISO_TABLES:
         raise ValueError(
             f"explicit iso given but {camera_type!r} has no per-ISO "
             "calibration table; only regression sampling (iso=None) exists "
             "for this camera")
     if iso is not None:
-        table = calib.ISO_TABLES[camera_type]
+        if table is None:
+            table = calib.ISO_TABLES[camera_type]
         if isinstance(iso, (int, float, str, np.integer, np.floating)):
             idx = jnp.full((n,), calib.iso_index(camera_type, iso), jnp.int32)
         else:

@@ -46,7 +46,16 @@ def _gtdn_ratio(key, n):
     return jnp.maximum(jax.random.uniform(key, (n,), minval=-3.0, maxval=4.0), 1.0)
 
 
-def _raw_synth_params(key, camera_type, n, iso, ratio, gtdn, lrid):
+def _noiseparam_table(camera_type, iso, noiseparam):
+    """ISO-table override from a user noiseparam-iso-N.h5 dict (or None)."""
+    if noiseparam is None or iso is None:
+        return None
+    from pnnp_tpu.physics.calibration import table_with_noiseparam
+
+    return table_with_noiseparam(camera_type, iso, noiseparam)
+
+
+def _raw_synth_params(key, camera_type, n, iso, ratio, gtdn, lrid, table=None):
     """Shared parameter draw for the raw-synth builders.
 
     ``lrid=True`` applies the trainer_LRID.py:399-418 IMX686 law: the
@@ -58,7 +67,7 @@ def _raw_synth_params(key, camera_type, n, iso, ratio, gtdn, lrid):
     if lrid:
         ratio = jax.random.uniform(k4, (n,), minval=1.0, maxval=16.0)
     params = sample_params_max(k1, camera_type, n=n, ratio=ratio, iso=iso,
-                               jitter_sigmas=not lrid)
+                               jitter_sigmas=not lrid, table=table)
     if gtdn:
         params = dict(params, ratio=_gtdn_ratio(k3, n))
     return params
@@ -66,14 +75,20 @@ def _raw_synth_params(key, camera_type, n, iso, ratio, gtdn, lrid):
 
 def make_raw_synth(camera_type: str, noise_code: str, ori: bool, clip: bool,
                    iso=None, ratio=None, gtdn: bool = False,
-                   lrid: bool = False):
-    """Physics noise synthesis on clean GT crops, fully batched."""
+                   lrid: bool = False, noiseparam: dict = None):
+    """Physics noise synthesis on clean GT crops, fully batched.
+
+    ``noiseparam``: user-supplied per-ISO calibration (the reference's
+    ``noiseparam-iso-N.h5`` ingestion, phone_datasets.py:99-112) overriding
+    the baked table row for ``iso``."""
+    table = _noiseparam_table(camera_type, iso, noiseparam)
 
     def synth(key, batch):
         hr = batch["hr"]
         n = hr.shape[0]
         kp, k2 = jax.random.split(key)
-        params = _raw_synth_params(kp, camera_type, n, iso, ratio, gtdn, lrid)
+        params = _raw_synth_params(kp, camera_type, n, iso, ratio, gtdn, lrid,
+                                   table)
         lr = generate_noisy(k2, hr, params, noise_code, ori=ori, clip=bool(clip))
         return lr, hr, params["ratio"]
 
@@ -82,7 +97,7 @@ def make_raw_synth(camera_type: str, noise_code: str, ori: bool, clip: bool,
 
 def make_raw_synth_packed(camera_type: str, noise_code: str, ori: bool, clip: bool,
                           iso=None, ratio=None, gtdn: bool = False,
-                          lrid: bool = False):
+                          lrid: bool = False, noiseparam: dict = None):
     """Physics synthesis directly in the 4x4-superpixel packed layout.
 
     Same distribution as :func:`make_raw_synth` (row banding exact), but lr/hr
@@ -94,13 +109,16 @@ def make_raw_synth_packed(camera_type: str, noise_code: str, ori: bool, clip: bo
     from pnnp_tpu.models.unet_s2d import s2d
     from pnnp_tpu.physics.noise import generate_noisy_packed
 
+    table = _noiseparam_table(camera_type, iso, noiseparam)
+
     def synth(key, batch):
         hr = batch["hr"]
         if hr.shape[-1] == 4:
             hr = s2d(hr)
         n = hr.shape[0]
         kp, k2 = jax.random.split(key)
-        params = _raw_synth_params(kp, camera_type, n, iso, ratio, gtdn, lrid)
+        params = _raw_synth_params(kp, camera_type, n, iso, ratio, gtdn, lrid,
+                                   table)
         lr = generate_noisy_packed(k2, hr, params, noise_code, ori=ori, clip=bool(clip))
         return lr, hr, params["ratio"]
 

@@ -301,7 +301,17 @@ class Trainer:
             iso_pt = int(self.dst.get("iso", 6400)) if lrid else None
             mk = (make_raw_synth_packed if getattr(self, "_use_packed", False)
                   else make_raw_synth)
-            return mk(cam, code, ori, clip, gtdn=gtdn, iso=iso_pt, lrid=lrid)
+            # user-recalibrated h5 noiseparam, loaded by the phone dataset at
+            # init (reference trainer_LRID.py:405-407 reads it off the
+            # dataset — dsts[0] under MultiDataset)
+            nps = None
+            if lrid:
+                dst_obj = getattr(self, "dataset_train", None)
+                if dst_obj is not None and hasattr(dst_obj, "datasets"):
+                    dst_obj = dst_obj.datasets[0]
+                nps = getattr(dst_obj, "noiseparam", {}).get(iso_pt)
+            return mk(cam, code, ori, clip, gtdn=gtdn, iso=iso_pt, lrid=lrid,
+                      noiseparam=nps)
         if name in ("NF_Syn_Dataset", "Proxy_Dataset", "IMX686_NF_Syn_Dataset",
                     "IMX686_Proxy_Dataset"):
             if self.proxy is None:

@@ -265,3 +265,66 @@ def test_meta_sidecar_found_for_decode_cache(tmp_path):
     with open(tmp_path / "f2.json", "w") as f:
         json.dump({"ISO": 800, "ExposureTime": 0.1}, f)
     assert _meta_for(str(tmp_path / "f2.npy"))["ISO"] == 800
+
+
+def test_multi_mixer_name_dispatch(tmp_path):
+    """Multi_{Real,Sync,Mix,Uproc}_Dataset names resolve through
+    build_dataset to the MixedSubsetDataset mixing contract (reference:
+    data_process/__init__.py:42-141 — base='indoor' variant at full
+    crop_per_image, extra=dstname variant at crop_per_image//4)."""
+    import shutil
+
+    from pnnp_tpu.data.datasets import MixDataset
+    from pnnp_tpu.data.extra import ImgDataset
+    from tests.test_phone_and_nf import make_lrid_fixture
+
+    make_sid_fixture(tmp_path)
+    dst = dict(
+        dataset="Multi_Mix_Dataset", dstname="SID", mode="train", H=32, W=48,
+        patch_size=8, crop_per_image=8, croptype="random_crop", command="",
+        camera_type="SonyA7S2", noise_code="p", wp=16383, bl=512, ori=False,
+        clip=2, infos_dir=str(tmp_path / "infos"),
+    )
+    mix = build_dataset(dst)
+    assert isinstance(mix, MixedSubsetDataset)
+    assert isinstance(mix.base, MixDataset) and isinstance(mix.extra, MixDataset)
+    assert mix.base.args["dstname"] == "indoor"
+    assert mix.base.args["crop_per_image"] == 8
+    assert mix.extra.args["crop_per_image"] == 2  # cpi // 4 contract
+    assert len(mix) == len(mix.base) + len(mix.extra) // 4
+    # mixed items concatenate 4 extra items back to the base crop count
+    assert mix[len(mix.base)]["hr"].shape[0] == 8
+
+    # Multi_Uproc: both halves are the sRGB-unprocess dataset over root_dir
+    up = build_dataset(dict(dst, dataset="Multi_Uproc_Dataset",
+                            root_dir=str(tmp_path)))
+    assert isinstance(up.base, ImgDataset) and isinstance(up.extra, ImgDataset)
+
+    # Multi_Sync: Img base + Mix extra
+    sync = build_dataset(dict(dst, dataset="Multi_Sync_Dataset",
+                              root_dir=str(tmp_path)))
+    assert isinstance(sync.base, ImgDataset) and isinstance(sync.extra, MixDataset)
+
+    # Multi_Real: phone Real_Dataset pair (the 'indoor' base replaces dstname
+    # in root_dir too)
+    from pnnp_tpu.data.phone import LRIDRealDataset
+
+    make_lrid_fixture(tmp_path)
+    for name in ("indoor", "outdoor"):
+        for suffix in ("GT_align_ours", "short"):
+            shutil.copy(tmp_path / "infos" / f"indoor_x5_{suffix}.info",
+                        tmp_path / "infos" / f"{name}_{suffix}.info")
+    real = build_dataset(dict(
+        dst, dataset="Multi_Real_Dataset", dstname="outdoor",
+        camera_type="IMX686", wp=1023, bl=64, ori=True, clip=False,
+        ratio_list=[1, 2, 4], command="alldg",
+        root_dir=str(tmp_path / "outdoor")))
+    assert isinstance(real.base, LRIDRealDataset)
+    assert isinstance(real.extra, LRIDRealDataset)
+    assert real.base.args["dstname"] == "indoor"
+    assert real.base.args["root_dir"] == str(tmp_path / "indoor")
+    assert real.extra.args["dstname"] == "outdoor"
+
+    # crop contract violations fail loudly
+    with pytest.raises(ValueError):
+        build_dataset(dict(dst, crop_per_image=6))

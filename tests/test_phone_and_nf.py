@@ -389,3 +389,68 @@ def test_gtdn_ratio_law():
     assert r.min() >= 1.0 and r.max() <= 4.0
     frac_one = float(np.mean(r == 1.0))
     assert 0.3 < frac_one < 0.6  # P(U(-3,4) <= 1) = 4/7
+
+
+def _write_noiseparam_h5(ds_dir, iso=6400, seed=7):
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(ds_dir, exist_ok=True)
+    arrs = {
+        "lam": rng.normal(0.02, 0.002, 12),
+        "sigmaGs": rng.normal(15.0, 0.3, 12),
+        "sigmaTL": rng.normal(13.0, 0.25, 12),
+        "sigmaR": rng.normal(0.9, 0.05, 12),
+        "meanRead": rng.normal(0.0, 0.4, (4, 12)),
+    }
+    with h5py.File(os.path.join(ds_dir, f"noiseparam-iso-{iso}.h5"), "w") as f:
+        for k, v in arrs.items():
+            f.create_dataset(k, data=v)
+    return arrs
+
+
+def test_noiseparam_h5_ingestion(tmp_path):
+    """A user's noiseparam-iso-N.h5 calibration overrides the baked IMX686
+    table (reference phone_datasets.py:99-112: means/stds from the file,
+    K and bias constants hardcoded)."""
+    import jax
+
+    from pnnp_tpu.physics.calibration import (
+        IMX686_NOISEPARAM_BIAS, IMX686_NOISEPARAM_KMAX, ISO_TABLES,
+        load_noiseparam_h5, table_with_noiseparam)
+    from pnnp_tpu.physics.sampling import sample_params_max
+
+    ds_dir = str(tmp_path / "ds")
+    assert load_noiseparam_h5(ds_dir) is None          # absent file
+    assert load_noiseparam_h5(None) is None            # ds_dir unset
+    arrs = _write_noiseparam_h5(ds_dir)
+    nps = load_noiseparam_h5(ds_dir)
+    assert nps["K"] == IMX686_NOISEPARAM_KMAX
+    assert nps["sigGs"] == pytest.approx(np.mean(arrs["sigmaGs"]))
+    assert nps["sigGssig"] == pytest.approx(np.std(arrs["sigmaGs"]))
+    assert nps["sigR"] == pytest.approx(np.mean(arrs["sigmaR"]))
+    assert nps["lam"] == pytest.approx(np.mean(arrs["lam"]))
+    np.testing.assert_allclose(nps["bias"], IMX686_NOISEPARAM_BIAS)
+    np.testing.assert_allclose(
+        nps["biassig"], np.std(arrs["meanRead"], axis=1), rtol=1e-6)
+    assert (nps["q"], nps["wp"], nps["bl"]) == (1 / 2**10, 1023, 64)
+
+    # the override feeds the point-calibration sampling branch
+    table = table_with_noiseparam("IMX686", 6400, nps)
+    params = sample_params_max(jax.random.key(0), "IMX686", n=4, iso=6400,
+                               jitter_sigmas=False, table=table)
+    assert float(params["sigGs"][0]) == pytest.approx(nps["sigGs"], rel=1e-6)
+    assert float(params["sigTL"][0]) == pytest.approx(nps["sigTL"], rel=1e-6)
+    np.testing.assert_allclose(np.asarray(params["bias"][0]),
+                               IMX686_NOISEPARAM_BIAS, rtol=1e-6)
+    # baked table itself is untouched (copy-on-write)
+    assert ISO_TABLES["IMX686"]["sigGs"][1] == pytest.approx(14.30362)
+
+    # dataset init ingests it in train mode when ds_dir is set
+    from pnnp_tpu.data import build_dataset
+
+    make_lrid_fixture(tmp_path)
+    ds = build_dataset(phone_args(tmp_path, ds_dir=ds_dir))
+    assert ds.noiseparam[6400]["sigGs"] == pytest.approx(nps["sigGs"])
+    ds_eval = build_dataset(phone_args(tmp_path, mode="eval", ds_dir=ds_dir))
+    assert ds_eval.noiseparam == {}  # train-only, like the reference
