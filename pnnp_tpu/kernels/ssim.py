@@ -136,6 +136,13 @@ def _ssim_call(xf, yf, bands, Hband, Hv, W, cs, data_range, C, tc=8):
     return partials[0, 0] / (C * Hv * Wv)
 
 
+def _ssim_call_sum(xf, yf, bands, Hband, Hv, W, cs, data_range, C, tc=8):
+    """:func:`_ssim_call` without the final normalization — the raw SUM over
+    the (C * Hv * (W-6)) valid window positions."""
+    return _ssim_call(xf, yf, bands, Hband, Hv, W, cs, data_range, C,
+                      tc=tc) * (C * Hv * (W - (WIN - 1)))
+
+
 @functools.partial(jax.jit, static_argnames=("C", "data_range"))
 def _ssim_bands(xf: jnp.ndarray, yf: jnp.ndarray, C: int,
                 data_range: float = 255.0) -> jnp.ndarray:
@@ -220,6 +227,31 @@ def ssim_flat(xf: jnp.ndarray, yf: jnp.ndarray, C: int = 4,
 
     unflat = lambda t: t.reshape(H, -1, C)
     return ssim_xla(unflat(xf), unflat(yf), data_range=data_range)
+
+
+def ssim_flat_sum(xf: jnp.ndarray, yf: jnp.ndarray, C: int = 4,
+                  data_range: float = 255.0) -> jnp.ndarray:
+    """SUM of the valid-window SSIM map from channel-interleaved flat
+    [H, W*C] inputs — :func:`ssim_flat` times the valid-window count
+    ``(H-6) * (W-6) * C``. Pallas on TPU, XLA fallback elsewhere.
+
+    Used by the width-sharded fused eval: a shard slab of ``own + 6`` pixel
+    columns makes this sum exactly the shard's owned window positions, so
+    psum over shards + one global normalize reproduces the full-frame mean
+    (see parallel.mesh.make_eval_metrics_step_sharded)."""
+    H = xf.shape[0]
+    W = xf.shape[1] // C
+    if jax.default_backend() == "tpu" and H >= _MIN_H:
+        Hp = -(-H // 8) * 8
+        if Hp != H:
+            xf = jnp.pad(xf, ((0, Hp - H), (0, 0)))
+            yf = jnp.pad(yf, ((0, Hp - H), (0, 0)))
+        return _ssim_call_sum(xf.astype(jnp.float32), yf.astype(jnp.float32),
+                              1, Hp, H - (WIN - 1), W, C, data_range, C)
+    from pnnp_tpu.ops.metrics import ssim_sum as ssim_sum_xla
+
+    unflat = lambda t: t.reshape(H, -1, C)
+    return ssim_sum_xla(unflat(xf), unflat(yf), data_range=data_range)
 
 
 def ssim_banded(xf: jnp.ndarray, yf: jnp.ndarray, C: int = 4,

@@ -81,6 +81,21 @@ def ssim(
     return jnp.mean(s)
 
 
+def ssim_sum(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    data_range: float = 255.0,
+    win_size: int = 7,
+) -> jnp.ndarray:
+    """SUM of the valid-window SSIM map of an ``[H, W, C]`` pair (all
+    channels): ``ssim(x, y) * (H-6) * (W-6) * C``. The partial-reduction
+    form used by the width-sharded fused eval (each shard sums the window
+    positions it owns; psum + global normalize reconstructs the exact
+    full-frame mean)."""
+    n = (x.shape[0] - win_size + 1) * (x.shape[1] - win_size + 1) * x.shape[2]
+    return ssim(x, y, data_range=data_range, win_size=win_size) * n
+
+
 def quality_assess(x: jnp.ndarray, y: jnp.ndarray, data_range: float = 255.0) -> dict:
     """PSNR + SSIM dict for an HWC pair; X estimate, Y reference.
 

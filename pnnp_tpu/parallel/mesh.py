@@ -138,6 +138,199 @@ def spatial_eval(mesh: Mesh, apply_fn, image: jnp.ndarray, halo: int = 32):
     return fn(image)
 
 
+def make_eval_metrics_step_sharded(model, mesh: Mesh, halo: int = 96,
+                                   qparams: dict | None = None):
+    """Width-sharded fused full-frame eval: forward + illuminance correction
+    + PSNR + SSIM in ONE jit over the mesh's ``spatial`` axis.
+
+    Signature-compatible with :func:`pnnp_tpu.train.steps.make_eval_metrics_step`
+    (``step(tparams, lr, hr, ratio, *, ori, correct, with_inputs)`` returning
+    the corrected flat frame + replicated metric scalars), so the trainer's
+    eval loop runs unchanged on a multi-chip mesh instead of abandoning the
+    fused path (round-3 gap: the 3.6x fused eval win and the Pallas SSIM
+    kernel were single-device only).
+
+    How each stage shards:
+      * forward — reflect/ppermute halo exchange of ``halo`` columns (the
+        :func:`spatial_eval` geometry), packed s2d forward shard-local;
+      * illuminance correction — num/den partial sums psum'ed before the
+        global scale (reference ELD correction, data_process/__init__.py:
+        144-175, exact across shards);
+      * PSNR — masked squared-error partial sums psum'ed (pad columns in the
+        edge shards excluded);
+      * SSIM — each shard runs the SSIM kernel over a slab of its own
+        columns + 6 halo columns from its right neighbour, which makes the
+        kernel's valid-window sum EXACTLY the shard's owned window starts;
+        window starts touching the global pad columns (left: ``pl`` starts
+        on shard 0; right: ``pr + 6`` starts on the last shard, whose
+        windows read pad or ring-wrapped halo values) are subtracted via
+        tiny XLA-path corrections on the same slab values, then one psum +
+        global normalize reproduces the exact full-frame skimage mean.
+
+    ``halo`` must be a multiple of 8 and >= the model's receptive-field
+    radius (UNetSeeInDark ~94 -> default 96). Frames too narrow to shard
+    fall back to the single-device fused step at trace time.
+    """
+    from jax import shard_map
+
+    from pnnp_tpu.kernels.ssim import ssim_flat_sum
+    from pnnp_tpu.models.unet_s2d import d2s, s2d
+    from pnnp_tpu.ops.metrics import ssim_sum as ssim_sum_xla
+    from pnnp_tpu.train.steps import make_eval_metrics_step, pad_split
+
+    axis = "spatial"
+    nsp = mesh.shape[axis]
+    assert halo % 8 == 0, halo
+    res = bool(getattr(model, "res", False))
+    if qparams is None:
+        from pnnp_tpu.models.unet_s2d import unet_hybrid_forward_packed as fwd
+    else:
+        assert not res, "int8 serving path has no residual-input support"
+        from pnnp_tpu.models.unet_s2d_int8 import (
+            unet_hybrid_forward_packed_int8,
+        )
+
+        def fwd(tp, g1, res_x=None):
+            return unet_hybrid_forward_packed_int8(tp, qparams, g1)
+
+    fallback = make_eval_metrics_step(model, qparams=qparams)
+
+    def step(tparams, lr, hr, ratio, *, ori=False, correct=True,
+             with_inputs=False):
+        if lr.ndim == 3:
+            lr = lr.reshape(1, lr.shape[1], -1, 4)
+        if hr.ndim == 3:
+            hr = hr.reshape(1, hr.shape[1], -1, 4)
+        assert lr.shape[-1] == 4, (
+            "sharded fused eval consumes unpacked frames (host pre-packing "
+            "is single-device geometry)")
+        H, W = int(lr.shape[1]), int(lr.shape[2])
+        pt, pb = pad_split(H, 16)
+        pl, pr = pad_split(W, 16 * nsp)
+        Hp, Wp = H + pt + pb, W + pl + pr
+        wloc = Wp // nsp
+        viable = (
+            nsp > 1 and wloc > 2 * halo and H > 8 and W > 8
+            and wloc >= pl + 6 and wloc >= pr + 12  # correction slices fit
+            and Wp - W < W and Hp - H < H           # reflect pad legal
+        )
+        if not viable:
+            return fallback(tparams, lr, hr, ratio, ori=ori, correct=correct,
+                            with_inputs=with_inputs)
+
+        pad = ((0, 0), (pt, pb), (pl, pr), (0, 0))
+        lrp = jnp.pad(lr, pad, mode="reflect") if (pt or pb or pl or pr) else lr
+        hrp = jnp.pad(hr, pad, mode="reflect") if (pt or pb or pl or pr) else hr
+        r = jnp.asarray(ratio, jnp.float32).reshape(())
+        ring_left = [(i, (i + 1) % nsp) for i in range(nsp)]
+        ring_right = [(i, (i - 1) % nsp) for i in range(nsp)]
+        npx = jnp.float32(H * W * 4)
+        nwin = jnp.float32((H - 6) * (W - 6) * 4)
+
+        def with_right_halo(t4):
+            # own columns + 6 columns from the right neighbour ([1,H,wloc+6,4]);
+            # the last shard receives ring-wrapped values, excluded exactly by
+            # the right border correction below
+            recv = jax.lax.ppermute(t4[:, :, :6, :], axis, ring_right)
+            return jnp.concatenate([t4, recv], axis=2)
+
+        def ssim_shard_sum(idx, a4, b4):
+            # a4/b4: [1, H, wloc+6, 4] slabs in [0,1]; returns this shard's
+            # contribution to the global SSIM map sum
+            flat = lambda t: (t * 255.0).reshape(t.shape[1], -1)
+            total = ssim_flat_sum(flat(a4), flat(b4), C=4)
+            if pl > 0:  # shard 0: starts [0, pl) read left pad columns
+                cl = ssim_sum_xla(a4[0, :, :pl + 6] * 255.0,
+                                  b4[0, :, :pl + 6] * 255.0)
+                total = total - jnp.where(idx == 0, cl, 0.0)
+            # last shard: starts [wloc-pr-6, wloc) read right pad and/or
+            # ring-wrapped halo columns — always pr+6 invalid starts
+            cr = ssim_sum_xla(a4[0, :, wloc - pr - 6:] * 255.0,
+                              b4[0, :, wloc - pr - 6:] * 255.0)
+            return total - jnp.where(idx == nsp - 1, cr, 0.0)
+
+        def worker(tp, lr_s, hr_s, r_):
+            idx = jax.lax.axis_index(axis)
+            # --- halo'd packed forward (spatial_eval geometry) -----------
+            from_left = jax.lax.ppermute(lr_s[:, :, -halo:, :], axis, ring_left)
+            from_right = jax.lax.ppermute(lr_s[:, :, :halo, :], axis, ring_right)
+            reflect_l = lr_s[:, :, 1:halo + 1, :][:, :, ::-1, :]
+            reflect_r = lr_s[:, :, -halo - 1:-1, :][:, :, ::-1, :]
+            from_left = jnp.where(idx == 0, reflect_l, from_left)
+            from_right = jnp.where(idx == nsp - 1, reflect_r, from_right)
+            slab = jnp.concatenate([from_left, lr_s, from_right], axis=2)
+            g1 = s2d(slab)
+            dnp = fwd(tp, g1, g1 if res else None)
+            dn4 = d2s(dnp).astype(jnp.float32)[:, pt:pt + H, halo:-halo, :]
+            hr4 = hr_s[:, pt:pt + H].astype(jnp.float32)
+            flat = lambda t: t.reshape(t.shape[1], -1)  # [H, wloc*4]
+            dnf, hrf = flat(dn4), flat(hr4)
+            # pixel-column validity (pad columns excluded from the sums)
+            gcol = idx * wloc + jnp.arange(wloc)
+            m = jnp.repeat(((gcol >= pl) & (gcol < pl + W))
+                           .astype(jnp.float32), 4)[None, :]
+            if with_inputs:
+                lrf = flat(lr_s[:, pt:pt + H].astype(jnp.float32))
+            if ori:
+                dnf = dnf * r_
+                if with_inputs:
+                    lrf = lrf * r_
+            dnf = jnp.clip(dnf, 0.0, 1.0)
+            if with_inputs:
+                lrf = jnp.clip(lrf, 0.0, 1.0)
+            hrc = jnp.clip(hrf, 0.0, 1.0)
+            if correct:
+                w = (hrf != 1.0).astype(jnp.float32) * m
+                num = jax.lax.psum(jnp.sum(dnf * hrf * w), axis)
+                den = jax.lax.psum(jnp.sum(dnf * dnf * w), axis)
+                scale = jnp.where(den > 0, num / jnp.maximum(den, 1e-20), 1.0)
+                dnf = scale * dnf
+
+            def psnr_of(a, b):
+                se = jax.lax.psum(jnp.sum(((a - b) * 255.0) ** 2 * m), axis)
+                return 10.0 * jnp.log10(
+                    255.0**2 / jnp.maximum(se / npx, 1e-12))
+
+            dn4c = dnf.reshape(1, H, wloc, 4)
+            hr4c = hrc.reshape(1, H, wloc, 4)
+            sd, sh = with_right_halo(dn4c), with_right_halo(hr4c)
+            metrics = {
+                "psnr": psnr_of(dnf, hrc),
+                "ssim": jax.lax.psum(ssim_shard_sum(idx, sd, sh), axis) / nwin,
+            }
+            lr4c = None
+            if with_inputs:  # the save_plot meters (trainer_SID.py:291-297)
+                metrics["psnr_in"] = psnr_of(lrf, hrc)
+                lr4c = lrf.reshape(1, H, wloc, 4)
+                metrics["ssim_in"] = jax.lax.psum(
+                    ssim_shard_sum(idx, with_right_halo(lr4c), sh), axis) / nwin
+            if with_inputs:
+                return dn4c, metrics, lr4c
+            return dn4c, metrics
+
+        sp = P(None, None, axis, None)
+        if with_inputs:
+            dn, metrics, lr_out = shard_map(
+                worker, mesh=mesh,
+                in_specs=(P(), sp, sp, P()),
+                out_specs=(sp, P(), sp),
+            )(tparams, lrp, hrp, r)
+        else:
+            dn, metrics = shard_map(
+                worker, mesh=mesh,
+                in_specs=(P(), sp, sp, P()),
+                out_specs=(sp, P()),
+            )(tparams, lrp, hrp, r)
+        dn = dn[:, :, pl:pl + W, :]  # rows were cropped shard-local
+        dnf = dn.reshape(1, H, W * 4)
+        if with_inputs:
+            lrf_out = lr_out[:, :, pl:pl + W, :].reshape(1, H, W * 4)
+            return dnf, metrics, lrf_out
+        return dnf, metrics
+
+    return jax.jit(step, static_argnames=("ori", "correct", "with_inputs"))
+
+
 def spatial_eval_auto(mesh: Mesh, apply_fn, image: jnp.ndarray,
                       halo: int = 96, align: int = 16):
     """Production wrapper around :func:`spatial_eval` for arbitrary frames.

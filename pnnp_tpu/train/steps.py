@@ -476,6 +476,10 @@ def make_eval_metrics_step(model, qparams: dict | None = None):
         if with_inputs:  # the save_plot meters (trainer_SID.py:291-297)
             metrics["psnr_in"] = psnr_of(lrf, hrc)
             metrics["ssim_in"] = ssim_flat(lrf * 255.0, hrc * 255.0)
+            # also hand back the (ori-scaled, clipped) input panel so the
+            # host can plot it even when the loader pre-packed the frame —
+            # the plot path no longer forces packing off
+            return dnf[None], metrics, lrf[None]
         # corrected, clipped flat frame — what the reference plots/saves
         return dnf[None], metrics
 

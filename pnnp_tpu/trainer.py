@@ -32,6 +32,7 @@ from pnnp_tpu.models.registry import example_input_channels
 from pnnp_tpu.ops import illuminance_correct, psnr as psnr_fn, ssim as ssim_fn, fast_isp
 from pnnp_tpu.ops.metrics import rgb_quality
 from pnnp_tpu.parallel import (
+    make_eval_metrics_step_sharded,
     make_mesh,
     make_sharded_train_step,
     replicate,
@@ -167,13 +168,24 @@ class Trainer:
         # the SPMD analog of the reference's DataParallel wrap,
         # base_trainer.py:115-118). Eval: all devices on 'spatial' — full
         # frames width-sharded with halo exchange over ICI.
-        self.mesh = make_mesh()
-        self.n_data = self.mesh.shape["data"]
         n_dev = jax.device_count()
         self.spatial_halo = int(self.args.get("spatial_halo", 96))
-        self.mesh_spatial = (
-            make_mesh(n_data=1, n_spatial=n_dev) if n_dev > 1 else None
-        )
+        # `mesh_spatial: K` in the runfile carves a combined 2-D mesh
+        # (data = n_dev/K, spatial = K): the data-parallel train step and the
+        # width-sharded eval then coexist on ONE mesh instead of two
+        # device-disjoint views (train batch shards over 'data' and
+        # replicates over 'spatial'; eval frames shard over 'spatial' and
+        # replicate over 'data').
+        n_sp = int(self.args.get("mesh_spatial", 0) or 0)
+        if n_sp > 1 and n_dev % n_sp == 0 and n_dev > n_sp:
+            self.mesh = make_mesh(n_data=n_dev // n_sp, n_spatial=n_sp)
+            self.mesh_spatial = self.mesh
+        else:
+            self.mesh = make_mesh()
+            self.mesh_spatial = (
+                make_mesh(n_data=1, n_spatial=n_dev) if n_dev > 1 else None
+            )
+        self.n_data = self.mesh.shape["data"]
         # UNetSeeInDark trains/evals through the exact dense-s2d fast path
         # (3x train step, 1.5x eval on v5e; gradient parity tested).
         use_fast = (
@@ -200,15 +212,21 @@ class Trainer:
         if self.n_data > 1:
             self.train_step = make_sharded_train_step(self.mesh, self.train_step)
         self.eval_step = make_eval_step(self.model, fast=use_fast)
-        # Single-device full-frame eval fuses forward + clip + illuminance
-        # correct + PSNR/SSIM into ONE layout-aware jit (flat lane-dense
-        # views, channel-banded Pallas SSIM): the unfused [H, W, 4] metric
-        # stage costs ~2x the UNet forward in padded-lane HBM traffic.
-        self._fused_eval = (
-            make_eval_metrics_step(self.model) if use_fast
-            and self.mesh_spatial is None
-            and not self.args.get("disable_fused_eval", False) else None
-        )
+        # Full-frame eval fuses forward + clip + illuminance correct +
+        # PSNR/SSIM into ONE layout-aware jit (flat lane-dense views,
+        # channel-banded Pallas SSIM): the unfused [H, W, 4] metric stage
+        # costs ~2x the UNet forward in padded-lane HBM traffic. On a
+        # multi-chip mesh the same fusion runs width-sharded with halo
+        # exchange + psum'ed metric partials (parallel/mesh.py).
+        if use_fast and not self.args.get("disable_fused_eval", False):
+            self._fused_eval = (
+                make_eval_metrics_step(self.model)
+                if self.mesh_spatial is None else
+                make_eval_metrics_step_sharded(
+                    self.model, self.mesh_spatial, halo=self.spatial_halo)
+            )
+        else:
+            self._fused_eval = None
         self._fused_tp_cache = {"params": None, "tp": None}
         self._int8_cache = {"params": None, "step": None}
         self._place_state()
@@ -451,7 +469,12 @@ class Trainer:
             qp = quantize_params_int8(
                 tp, calibrate_act_scales(tp, [g1], pct=99.95))
             c["params"] = self.state.params
-            c["step"] = make_eval_metrics_step(self.model, qparams=qp)
+            c["step"] = (
+                make_eval_metrics_step(self.model, qparams=qp)
+                if self.mesh_spatial is None else
+                make_eval_metrics_step_sharded(
+                    self.model, self.mesh_spatial, halo=self.spatial_halo,
+                    qparams=qp))
         return c["step"]
 
     def _forward_full(self, lr):
@@ -603,9 +626,9 @@ class Trainer:
         self.rgb_metrics = bool(self.args.get("rgb_metrics", False))
         if self.int8_eval and (self._fused_eval is None or self.rgb_metrics):
             raise ValueError(
-                "--int8 eval serves through the fused single-device raw-"
-                "domain path: it requires the fast UNetSeeInDark arch, no "
-                "spatial sharding, no disable_fused_eval, and no rgb_metrics")
+                "--int8 eval serves through the fused raw-domain path: it "
+                "requires the fast UNetSeeInDark arch, no "
+                "disable_fused_eval, and no rgb_metrics")
 
         # When the fused step will consume the frames and no plots need the
         # unpacked input, prefetch workers pre-pack lr (%16 reflect pad +
@@ -613,7 +636,11 @@ class Trainer:
         # path; the fused step's packed branch recovers crop dims from hr.
         pack_eval = (
             self._fused_eval is not None and not self.rgb_metrics
-            and not self.save_plot
+            # host pre-packing bakes single-device pad geometry into the
+            # frame; the sharded fused step pads to %(16*nsp) itself
+            and self.mesh_spatial is None
+            # plotting sweeps keep the packed branch too: the fused step
+            # returns the (ori-scaled, clipped) input panel via with_inputs
         )
         if pack_eval:
             from pnnp_tpu.models.unet_s2d import pack_frame_np
@@ -636,18 +663,21 @@ class Trainer:
                 # corrected frame channel-interleaved flat [1, H, W*4]
                 step_fn = (self._int8_eval_step(lr) if self.int8_eval
                            else self._fused_eval)
-                dnf, m = step_fn(
+                out = step_fn(
                     self._fused_tp(), lr, hr,
                     jnp.asarray(batch["ratio"]).reshape(-1)[0],
                     ori=ori, correct=bool(brightness_correct and epoch < 0),
                     with_inputs=self.save_plot,
                 )
+                dnf, m = out[:2]
                 p, s = float(m["psnr"]), float(m["ssim"])
                 p_in_f = float(m.get("psnr_in", 0.0))
                 s_in_f = float(m.get("ssim_in", 0.0))
                 if self.save_plot and epoch < 0:
-                    dn = dnf.reshape(1, lr.shape[1], lr.shape[2], 4)
-                    lr = jnp.clip(lr * ratio if ori else lr, 0, 1)
+                    # panels from the step itself (ori-scaled, clipped) —
+                    # works whether the loader handed frames packed or not
+                    dn = dnf.reshape(1, hr.shape[1], hr.shape[2], 4)
+                    lr = out[2].reshape(1, hr.shape[1], hr.shape[2], 4)
             else:
                 dn = self._forward_full(lr)
                 if ori:

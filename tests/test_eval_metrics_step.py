@@ -31,8 +31,8 @@ def test_fused_eval_metrics_matches_unfused(ori, correct):
     ratio = jnp.float32(2.0)
 
     fused = make_eval_metrics_step(model)
-    dnp, m = fused(tp, lr, hr, ratio, ori=ori, correct=correct,
-                   with_inputs=True)
+    dnp, m, lrp_out = fused(tp, lr, hr, ratio, ori=ori, correct=correct,
+                            with_inputs=True)
 
     # unfused reference sequence (exactly the trainer eval loop)
     es = make_eval_step(model, fast=True)
@@ -57,6 +57,9 @@ def test_fused_eval_metrics_matches_unfused(ori, correct):
     # the returned flat frame is the corrected, clipped image
     np.testing.assert_allclose(np.asarray(dnp).reshape(dn.shape),
                                np.asarray(dn), rtol=1e-4, atol=1e-5)
+    # and the input panel is the ori-scaled clipped lr (plot contract)
+    np.testing.assert_allclose(np.asarray(lrp_out).reshape(lr2.shape),
+                               np.asarray(lr2), rtol=1e-5, atol=1e-6)
 
 
 def test_trainer_eval_fused_matches_sharded_path(tmp_path, monkeypatch):
@@ -135,12 +138,16 @@ def test_fused_eval_packed_input_is_exact(with_inputs):
         d2s_np(s2d_np(x)), np.asarray(d2s(s2d(jnp.asarray(x)))))
 
     fused = make_eval_metrics_step(model)
-    dn_u, m_u = fused(tp, jnp.asarray(lr), hr, ratio, ori=True, correct=True,
-                      with_inputs=with_inputs)
+    o_u = fused(tp, jnp.asarray(lr), hr, ratio, ori=True, correct=True,
+                with_inputs=with_inputs)
     packed = pack_frame_np(lr)
     assert packed.shape == (1, 24, 24, 16)
-    dn_p, m_p = fused(tp, jnp.asarray(packed), hr, ratio, ori=True,
-                      correct=True, with_inputs=with_inputs)
+    o_p = fused(tp, jnp.asarray(packed), hr, ratio, ori=True,
+                correct=True, with_inputs=with_inputs)
+    (dn_u, m_u), (dn_p, m_p) = o_u[:2], o_p[:2]
+    if with_inputs:
+        # the packed branch recovers the unpacked input panel exactly
+        np.testing.assert_array_equal(np.asarray(o_u[2]), np.asarray(o_p[2]))
 
     np.testing.assert_array_equal(np.asarray(dn_u), np.asarray(dn_p))
     assert set(m_u) == set(m_p)

@@ -53,9 +53,14 @@ def conv_case(H, W, C, D, kh=3, kw=3):
     kb = (jax.random.normal(jax.random.key(1), (kh, kw, C, D), jnp.bfloat16)
           * 0.05)
 
+    assert D >= C, "fold-back feedback needs D >= C"
+
     def step_b(t):
-        return lax.conv_general_dilated(
+        acc = lax.conv_general_dilated(
             t, kb, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # fold the output back onto the carry (keeps the scan dependency
+        # chain even when C != D; negligible vs the conv itself)
+        return acc if D == C else t + acc[..., :C]
 
     dt_b = _time_chain(step_b, xb)
 
@@ -68,7 +73,10 @@ def conv_case(H, W, C, D, kh=3, kw=3):
             t, ki, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32)
-        return jnp.clip(acc >> 7, -127, 127).astype(jnp.int8)
+        q = jnp.clip(acc >> 7, -127, 127).astype(jnp.int8)
+        return q if D == C else jnp.clip(
+            t.astype(jnp.int32) + q[..., :C].astype(jnp.int32),
+            -127, 127).astype(jnp.int8)
 
     dt_i = _time_chain(step_i, xi)
     return dt_b, dt_i, flops
