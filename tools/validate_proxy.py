@@ -32,10 +32,18 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--d", type=int, default=256)
     ap.add_argument("--patch", type=int, default=32)
+    # training-crop WIDTH (defaults to --patch). The row stage deconvolves
+    # the row law from per-row means contaminated by pixel noise at std
+    # sigma_px/sqrt(W); at ISO 12800 that is ~2x the row law's own std at
+    # W=32 (the worst conditioning on the ladder), so wide rows are the
+    # lever for the high-ISO row plateau — same pixel budget, cleaner row
+    # observations.
+    ap.add_argument("--patch-w", type=int, default=0)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--eval-frames", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
     a = ap.parse_args(argv)
+    pw = a.patch_w or a.patch
 
     import jax
 
@@ -76,7 +84,7 @@ def main(argv=None):
     proxy = PixelWiseISOProxy(d=a.d, nf=16, nb=2)
     pvars = proxy.init(
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
-        jnp.zeros((1, a.patch, a.patch, 4)), jnp.full((1,), 1600.0),
+        jnp.zeros((1, a.patch, pw, 4)), jnp.full((1,), 1600.0),
     )
     state = TrainState.create(apply_fn=proxy.apply, params=pvars["params"],
                               tx=make_adam_direction())
@@ -113,7 +121,7 @@ def main(argv=None):
             k1, k2 = jax.random.split(k)
             idx = jax.random.randint(k1, (), 0, len(TRAIN_ISOS))
             noise = generate_noisy(
-                k2, jnp.zeros((a.batch, a.patch, a.patch, 4)),
+                k2, jnp.zeros((a.batch, a.patch, pw, 4)),
                 params_from_idx(idx, a.batch), "pgrq", ori=True)
             st, nll = step(st, noise, jnp.full((a.batch,), iso_arr[idx]))
             return st, nll
@@ -135,7 +143,7 @@ def main(argv=None):
 
     def score(iso, key):
         k1, k2, k3 = jax.random.split(key, 3)
-        n, p = a.eval_frames, a.patch * 2
+        n, p = a.eval_frames, 64  # fixed eval geometry for cross-run tables
         real = dark_frames(k1, iso, n, p)
         real2 = dark_frames(k3, iso, n, p)  # second real draw = KLD noise floor
         fake = proxy.apply({"params": state.params},
