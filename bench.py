@@ -158,7 +158,7 @@ def main_train():
     }))
 
 
-def _probe_device(timeout_s: float = 120.0) -> bool:
+def _probe_device(timeout_s: float = 300.0) -> bool:
     """Fail fast when the axon tunnel is down (observed outages up to 8+ h):
     a trivial op hangs forever, which would stall the whole bench run."""
     import threading

@@ -90,7 +90,10 @@ def matmul_case(M, K_, N):
     wb = jax.random.normal(jax.random.key(1), (K_, N), jnp.bfloat16) * 0.05
 
     def step_b(t):
-        return lax.dot(t, wb)
+        acc = lax.dot(t, wb)
+        # fold the (M, N) product back onto the (M, K) carry when N != K so
+        # the scan chain stays dependent (negligible vs the dot itself)
+        return acc if N == K_ else t + jnp.pad(acc, ((0, 0), (0, K_ - N)))
 
     dt_b = _time_chain(step_b, xb)
 
@@ -99,7 +102,11 @@ def matmul_case(M, K_, N):
 
     def step_i(t):
         acc = lax.dot(t, wi, preferred_element_type=jnp.int32)
-        return jnp.clip(acc >> 7, -127, 127).astype(jnp.int8)
+        q = jnp.clip(acc >> 7, -127, 127)
+        if N != K_:
+            q = jnp.clip(t.astype(jnp.int32)
+                         + jnp.pad(q, ((0, 0), (0, K_ - N))), -127, 127)
+        return q.astype(jnp.int8)
 
     dt_i = _time_chain(step_i, xi)
     return dt_b, dt_i, flops
