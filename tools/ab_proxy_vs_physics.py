@@ -211,14 +211,20 @@ def main(argv=None):
         step = make_train_step(model, lr_s, synth, clip_mode=2, fast=True,
                                donate=False)
 
+        # NOTE: pool is an explicit jit ARGUMENT, not a closure capture — a
+        # closed-over device array is serialized into the remote_compile
+        # request as a constant, and at recipe scale (64 x 512^2 x 4 f32 =
+        # 256 MB) the axon tunnel rejects it with HTTP 413. As an argument
+        # it is a device buffer reference: uploaded once by jnp.asarray,
+        # zero-copy per chunk call.
         @jax.jit
-        def chunk(state, keys, offset):
+        def chunk(state, keys, offset, pool_):
             def body(st, kv):
                 k, it = kv
                 ki, ks = jax.random.split(k)
                 idx = jax.random.randint(ki, (a.batch,), 0, a.pool)
                 # the schedule is step-granular here: global step = "epoch"
-                st, m = step(st, {"hr": pool[idx]}, ks, offset + it)
+                st, m = step(st, {"hr": pool_[idx]}, ks, offset + it)
                 return st, m["loss"]
 
             its = jnp.arange(keys.shape[0])
@@ -232,7 +238,7 @@ def main(argv=None):
             n = min(a.chunk, a.unet_steps - done)
             key, sub = jax.random.split(key)
             state, loss = chunk(state, jax.random.split(sub, n),
-                                jnp.asarray(done, jnp.float32))
+                                jnp.asarray(done, jnp.float32), pool)
             done += n
             print(f"[{name}] step {done}/{a.unet_steps}: "
                   f"loss={float(loss):.4f} "
@@ -264,7 +270,10 @@ def main(argv=None):
                 ori=False), -jnp.inf, 1.0)
             p_phys = arm_psnr(state_p, lr_img, eval_hr)
             p_prox = arm_psnr(state_x, lr_img, eval_hr)
+            p_in = float(psnr(jnp.clip(lr_img, 0, 1) * 255.0,
+                              jnp.clip(eval_hr, 0, 1) * 255.0))
             rows.append({"iso": iso_v, "ratio": int(ratio_v),
+                         "input_psnr": round(p_in, 3),
                          "physics_psnr": round(p_phys, 3),
                          "proxy_psnr": round(p_prox, 3),
                          "delta": round(p_prox - p_phys, 3),
