@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pickle
 import sys
 import time
@@ -45,6 +46,11 @@ def main(argv=None):
     ap.add_argument("--eval-frames", type=int, default=8)
     ap.add_argument("--proxy-ckpt", default="",
                     help="load/save the trained proxy params here")
+    ap.add_argument("--state-dir", default="",
+                    help="host-snapshot each arm's train state after every "
+                    "chunk and resume from the snapshot on restart — the "
+                    "axon tunnel can die mid-run (outages observed 1-8+ h); "
+                    "device buffers do not survive, a host pickle does")
     ap.add_argument("--pool", type=int, default=64,
                     help="device-resident clean-scene pool size (scenes are "
                     "uploaded ONCE; each step gathers a batch by index so "
@@ -211,6 +217,33 @@ def main(argv=None):
         step = make_train_step(model, lr_s, synth, clip_mode=2, fast=True,
                                donate=False)
 
+        snap = f"{a.state_dir}/arm_{name}.pkl" if a.state_dir else None
+        done = 0
+        if snap:
+            try:
+                with open(snap, "rb") as f:
+                    rec = pickle.load(f)
+                done = rec["done"]
+                state = state.replace(
+                    step=jnp.asarray(rec["step"]),
+                    params=jax.tree.map(jnp.asarray, rec["params"]),
+                    opt_state=jax.tree.map(jnp.asarray, rec["opt_state"]))
+                print(f"[{name}] resumed at step {done} from {snap}",
+                      file=sys.stderr)
+            except FileNotFoundError:
+                pass
+
+        def save_snap(st, n_done):
+            if not snap:
+                return
+            host = jax.tree.map(np.asarray,
+                                {"step": st.step, "params": st.params,
+                                 "opt_state": st.opt_state})
+            host["done"] = n_done
+            with open(snap + ".tmp", "wb") as f:
+                pickle.dump(host, f)
+            os.replace(snap + ".tmp", snap)
+
         # NOTE: pool is an explicit jit ARGUMENT, not a closure capture — a
         # closed-over device array is serialized into the remote_compile
         # request as a constant, and at recipe scale (64 x 512^2 x 4 f32 =
@@ -233,17 +266,21 @@ def main(argv=None):
 
         key = jax.random.key(100 + seed)  # SAME index/noise stream both arms
         t0 = time.time()
-        done = 0
-        while done < a.unet_steps:
-            n = min(a.chunk, a.unet_steps - done)
+        at = 0  # chunk-boundary walker: resume needs the same --chunk
+        while at < a.unet_steps:
+            n = min(a.chunk, a.unet_steps - at)
             key, sub = jax.random.split(key)
+            if at < done:  # already in the snapshot: keep the key stream
+                at += n
+                continue
             state, loss = chunk(state, jax.random.split(sub, n),
-                                jnp.asarray(done, jnp.float32), pool)
-            done += n
-            print(f"[{name}] step {done}/{a.unet_steps}: "
+                                jnp.asarray(at, jnp.float32), pool)
+            at += n
+            save_snap(state, at)
+            print(f"[{name}] step {at}/{a.unet_steps}: "
                   f"loss={float(loss):.4f} "
-                  f"({(time.time() - t0) / done * 1e3:.0f} ms/step)",
-                  file=sys.stderr)
+                  f"({(time.time() - t0) / max(at - done, 1) * 1e3:.0f} "
+                  f"ms/step)", file=sys.stderr)
         return model, state
 
     model_p, state_p = train_arm("physics", synth_physics, seed=11)
