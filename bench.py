@@ -183,8 +183,27 @@ def _probe_device(timeout_s: float = 300.0) -> bool:
     return bool(ok and ok[0])
 
 
+def _probe_with_retry(window_s: float = 1500.0, each_s: float = 120.0) -> bool:
+    """The tunnel FLAPS as well as dies (probe log: minutes-long dropouts
+    between UP windows) — retry the probe across a bounded window before
+    declaring the round's bench unreachable. A probe thread left hanging is
+    daemonized, so piling a few up while waiting is harmless."""
+    deadline = time.monotonic() + window_s
+    attempt = 0
+    while True:
+        attempt += 1
+        if _probe_device(each_s):
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        print(f"bench: tunnel probe {attempt} timed out; retrying "
+              f"({deadline - time.monotonic():.0f}s left in window)",
+              file=sys.stderr)
+        time.sleep(30)
+
+
 if __name__ == "__main__":
-    if not _probe_device():
+    if not _probe_with_retry():
         print(json.dumps({
             "metric": "unet_denoise_throughput", "value": 0.0,
             "unit": "Mpix/s/chip", "vs_baseline": 0.0,
