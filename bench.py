@@ -183,7 +183,8 @@ def _probe_device(timeout_s: float = 300.0) -> bool:
     return bool(ok and ok[0])
 
 
-def _probe_with_retry(window_s: float = 1500.0, each_s: float = 120.0) -> bool:
+def _probe_with_retry(window_s: float = 1500.0, each_s: float = 120.0,
+                      sleep_s: float = 30.0) -> bool:
     """The tunnel FLAPS as well as dies (probe log: minutes-long dropouts
     between UP windows) — retry the probe across a bounded window before
     declaring the round's bench unreachable. A probe thread left hanging is
@@ -199,7 +200,7 @@ def _probe_with_retry(window_s: float = 1500.0, each_s: float = 120.0) -> bool:
         print(f"bench: tunnel probe {attempt} timed out; retrying "
               f"({deadline - time.monotonic():.0f}s left in window)",
               file=sys.stderr)
-        time.sleep(30)
+        time.sleep(sleep_s)
 
 
 if __name__ == "__main__":
