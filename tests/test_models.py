@@ -163,6 +163,51 @@ def test_proxy_sample_and_loss():
     assert np.isfinite(float(nll))
 
 
+def test_quantile_dot_matches_gather():
+    """quantile_dot (two-hot MXU lookup) == quantile to bf16 knot rounding,
+    with and without the Laplace tail, on trained-shaped heads."""
+    from pnnp_tpu.models.proxy import QuantileHead
+
+    proxy = PixelWiseISOProxy(d=96, nf=8, nb=2)
+    clean = jnp.full((3, 8, 8, 4), 0.01)
+    iso = jnp.full((3,), 1600.0)
+    variables = proxy.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, clean, iso
+    )
+    feat = jnp.stack([0.0009546 * iso - 0.00193, jnp.log(iso / 1600.0)], -1)
+    hp = QuantileHead(96, 8, 2).apply(
+        {"params": variables["params"]["pixel_stage"]}, feat)
+    u = jax.random.uniform(jax.random.key(2), (3, 8, 8, 4), minval=1e-6,
+                           maxval=1 - 1e-6)
+    c = jax.random.uniform(jax.random.key(3), (3, 8, 8, 4))
+    scale = float(jnp.max(jnp.abs(hp.knots))) + 1e-9
+    for ch in (None, c):
+        g = QuantileHead.quantile(hp, u, ch)
+        d_ = QuantileHead.quantile_dot(hp, u, ch)
+        np.testing.assert_allclose(np.asarray(d_), np.asarray(g),
+                                   atol=3e-3 * scale)
+
+
+def test_proxy_lookup_dot_sample_matches_gather():
+    """The lookup='dot' module samples the same noise as 'gather' under the
+    same rng (to bf16 knot rounding) — the opt-in is drop-in."""
+    kw = dict(d=96, nf=8, nb=2)
+    pg = PixelWiseISOProxy(**kw)
+    pd = PixelWiseISOProxy(**kw, lookup="dot")
+    clean = jnp.full((2, 16, 16, 4), 0.02)
+    iso = jnp.full((2,), 3200.0)
+    variables = pg.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, clean, iso
+    )
+    ng = pg.apply(variables, clean, iso, rngs={"sample": jax.random.key(7)},
+                  mode="sample")
+    nd = pd.apply(variables, clean, iso, rngs={"sample": jax.random.key(7)},
+                  mode="sample")
+    scale = float(jnp.max(jnp.abs(ng))) + 1e-9
+    np.testing.assert_allclose(np.asarray(nd), np.asarray(ng),
+                               atol=3e-3 * scale)
+
+
 def test_torch_pth_checkpoint_roundtrip(tmp_path, small_unet):
     """Save flax params as a torch .pth; load through load_any; outputs match."""
     torch = pytest.importorskip("torch")

@@ -98,37 +98,8 @@ def main(argv=None):
         f = jnp.stack([k, jnp.log(iso / 1600.0)])
         return jnp.broadcast_to(f, (nb, 2))
 
-    def quantile_dot(hp, u, u_choice):
-        """Two-hot matmul lookup (MXU) — candidate gather replacement.
-
-        one_hot rows are exact; the only loss vs take_along_axis is the
-        knots' f32->bf16 rounding inside the dot (~2^-9 relative), far below
-        the learned law's own KLD floor. Interpolation stays f32 on VPU.
-        """
-        knots = hp.knots                      # [n, d+1]
-        d = knots.shape[-1] - 1
-        nb = knots.shape[0]
-        t = u * d
-        k = jnp.clip(t.astype(jnp.int32), 0, d - 1)
-        frac = (t - k).astype(jnp.float32)
-        kf = k.reshape(nb, -1)                # [n, P]
-        oh = jax.nn.one_hot(kf, d, dtype=jnp.bfloat16)       # [n, P, d]
-        kb = knots.astype(jnp.bfloat16)
-        # lo selects knots[k], hi selects knots[k+1]; the one-hot is shared.
-        lo = lax.dot_general(oh, kb[:, :-1][..., None],
-                             (((2,), (1,)), ((0,), (0,))))[..., 0]
-        hi = lax.dot_general(oh, kb[:, 1:][..., None],
-                             (((2,), (1,)), ((0,), (0,))))[..., 0]
-        lo = lo.astype(jnp.float32).reshape(u.shape)
-        hi = hi.astype(jnp.float32).reshape(u.shape)
-        core = lo + frac.reshape(u.shape) * (hi - lo)
-        bshape = (nb,) + (1,) * (u.ndim - 1)
-        mu = 0.5 * (knots[:, 0] + knots[:, -1]).reshape(bshape)
-        b = hp.tail_b.reshape(bshape)
-        pi = hp.tail_pi.reshape(bshape)
-        v = jnp.clip(u - 0.5, -0.5 + 1e-7, 0.5 - 1e-7)
-        lap = mu - b * jnp.sign(v) * jnp.log1p(-2.0 * jnp.abs(v))
-        return jnp.where(u_choice < pi, lap, core)
+    # the production two-hot MXU lookup (models/proxy.py)
+    quantile_dot = QuantileHead.quantile_dot
 
     def build(which):
         def f(key, clean):
