@@ -112,7 +112,13 @@ def main(mode: str = "serve"):
     print(json.dumps(out))
 
 
-def main_train():
+def main_train(proxy: bool = False):
+    """``proxy=True`` measures the PNNP flagship config instead: the same
+    recipe with the learned pw_iso_2stage proxy as the synth stage
+    (runfiles/SonyA7S2/PNNP.yml — make_proxy_synth, Sony law), at the
+    runfile's d=1024. The proxy's per-pixel PWL lookup rides the MXU
+    (models/proxy.py lookup='dot'); the 'gather' fallback measured ~34
+    ms/step slower on v5e (tools/profile_proxy_synth.py)."""
     from pnnp_tpu.models import UNetSeeInDark
     from pnnp_tpu.train import build_lr_schedule, create_train_state, make_train_step
     from pnnp_tpu.train.steps import make_raw_synth_packed
@@ -121,15 +127,36 @@ def main_train():
     sched = build_lr_schedule(
         {"lr_scheduler": "fixed", "learning_rate": 1e-4, "stop_epoch": 10,
          "last_epoch": 0})
-    synth = make_raw_synth_packed("SonyA7S2", "pgrq", ori=False, clip=False)
+    if proxy:
+        from pnnp_tpu.models import PixelWiseISOProxy
+        from pnnp_tpu.train.steps import make_proxy_synth, pack_synth
+
+        pw = PixelWiseISOProxy(d=1024)
+        clean0 = jnp.zeros((1, 8, 8, 4))
+        pvars = pw.init({"params": jax.random.key(5),
+                         "sample": jax.random.key(6)}, clean0,
+                        jnp.ones((1,)) * 1600.0)
+        sample_fn = lambda rng, clean, iso: pw.apply(
+            pvars, clean, iso, rngs={"sample": rng}, mode="sample")
+        synth = pack_synth(make_proxy_synth(sample_fn,
+                                            ratio_range=(100.0, 300.0)))
+    else:
+        synth = make_raw_synth_packed("SonyA7S2", "pgrq", ori=False,
+                                      clip=False)
     step = make_train_step(model, sched, synth, clip_mode=2, donate=False,
                            fast="packed")
     state = create_train_state(jax.random.key(0), model,
                                jnp.zeros((1, 64, 64, 4)))
     # reference SID recipe: batch_size 1 x crop_per_image 8 x 512^2 packed
-    # crops; hr pre-packed like the production loader feeds it
+    # crops; hr pre-packed like the production loader feeds it (the proxy
+    # synth samples in the unpacked layout the reference law defines, so it
+    # takes unpacked hr)
     hr = (jax.random.uniform(jax.random.key(1), (8, 256, 256, 16)) * 0.02
           ).astype(jnp.float32)
+    if proxy:
+        from pnnp_tpu.models.unet_s2d import d2s
+
+        hr = d2s(hr)
     batch = {"hr": hr}
 
     # Chain K steps inside one jit (lax.scan over PRNG keys, state threaded)
@@ -160,7 +187,7 @@ def main_train():
 
     ms = dt * 1e3
     print(json.dumps({
-        "metric": "packed_train_step",
+        "metric": "proxy_train_step" if proxy else "packed_train_step",
         "value": round(ms, 2),
         "unit": "ms/step",
         "vs_baseline": round(BASELINE_TRAIN_MS / ms, 3),  # >1 = faster
@@ -212,7 +239,9 @@ if __name__ == "__main__":
                      "rerun when the device responds",
         }))
         sys.exit(1)
-    if "--train" in sys.argv:
+    if "--train-proxy" in sys.argv:
+        main_train(proxy=True)
+    elif "--train" in sys.argv:
         main_train()
     elif "--bf16" in sys.argv:
         main("bf16")

@@ -275,11 +275,14 @@ class PixelWiseISOProxy(nn.Module):
     mode: str = "2stage+iso"
     wp: float = 16383.0
     bl: float = 512.0
-    # Per-pixel PWL lookup implementation for sample(): 'gather'
-    # (take_along_axis) or 'dot' (two-hot MXU matmul, QuantileHead.
-    # quantile_dot) — identical distribution to bf16 knot rounding. The
-    # row stage always uses 'gather' (one draw per (row, channel) is tiny).
-    lookup: str = "gather"
+    # Per-pixel PWL lookup implementation for sample(): 'dot' (two-hot MXU
+    # matmul, QuantileHead.quantile_dot) or 'gather' (take_along_axis) —
+    # identical distribution to bf16 knot rounding. Measured on v5e at the
+    # recipe shape (8x256x256x4, tools/profile_proxy_synth.py): the gather
+    # lowers to a ~34 ms scalar loop regardless of d; the dot form runs the
+    # whole sample in 6.7-7.4 ms (d=256/1024) — 5.3-5.7x. The row stage
+    # always uses 'gather' (one draw per (row, channel) is tiny).
+    lookup: str = "dot"
 
     def _iso_feat(self, iso: jnp.ndarray) -> jnp.ndarray:
         """Normalized ISO features: [K(iso), log-ISO] — the '+iso' conditioning."""

@@ -273,7 +273,7 @@ class Trainer:
                 mode=arch_proxy.get("mode", "2stage+iso"),
                 wp=float(self.dst.get("wp", 16383)),
                 bl=float(self.dst.get("bl", 512)),
-                lookup=arch_proxy.get("lookup", "gather"),
+                lookup=arch_proxy.get("lookup", "dot"),
             )
             clean = jnp.zeros((1, 8, 8, 4))
             self.proxy_vars = self.proxy.init(

@@ -124,7 +124,7 @@ class NFTrainer:
                 nf=int(arch.get("nf", 16)), nb=int(arch.get("nb", 2)),
                 d=int(arch.get("d", 1024)), mode=arch.get("mode", "2stage+iso"),
                 wp=float(self.dst.get("wp", 16383)), bl=float(self.dst.get("bl", 512)),
-                lookup=arch.get("lookup", "gather"),
+                lookup=arch.get("lookup", "dot"),
             )
             clean = jnp.zeros((1, patch, patch, 4))
             variables = self.model.init(
