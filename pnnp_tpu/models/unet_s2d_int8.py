@@ -101,14 +101,26 @@ def _walk(tparams, g1, dtype, record=None, qparams=None, record_pct=100.0):
         return _lrelu(_conv_same(x, k(name)) + b(name))
 
     def dec_conv_q(up_t, skip, name):
-        """Split-add decoder conv; the two halves quantize separately."""
+        """Split-add decoder conv; the two halves quantize separately.
+
+        Each half's dequant multiply is cast to ``dtype`` BEFORE the
+        combine: the compiled HLO (tools/hlo_int8_report.py) showed the
+        halves materializing in HBM between their conv fusion and the
+        combine fusion — as raw s32 accumulators (389/194 MB at the level-1
+        shapes) or f32 products — because XLA keeps the boundary at the
+        conv output's widest dtype. A bf16 partial shrinks that boundary
+        4x (s32) / 2x (f32); the added rounding (~2^-9 relative per
+        partial) is an order below the int8 quantization error itself.
+        """
         if qparams is not None and (name + "u") in qparams["act_scale"]:
             lu = qparams["layers"][name + "u"]
             ls = qparams["layers"][name + "s"]
             acc_u = _conv_same(q(up_t, name + "u"), lu["kq"], prefer=jnp.int32)
             acc_s = _conv_same(q(skip, name + "s"), ls["kq"], prefer=jnp.int32)
-            y = (acc_u.astype(jnp.float32) * lu["m"]
-                 + acc_s.astype(jnp.float32) * ls["m"] + lu["bias"])
+            pu = (acc_u.astype(jnp.float32) * lu["m"]).astype(dtype)
+            ps = (acc_s.astype(jnp.float32) * ls["m"]).astype(dtype)
+            y = (pu.astype(jnp.float32) + ps.astype(jnp.float32)
+                 + lu["bias"])
             return _lrelu(y).astype(dtype)
         kk = k(name)
         cu = up_t.shape[-1]
@@ -142,8 +154,10 @@ def _walk(tparams, g1, dtype, record=None, qparams=None, record_pct=100.0):
         ls = qparams["layers"]["conv9_1s"]
         acc_u = _conv_same(q(up9_in, "conv9_1u"), lu["kq"], prefer=jnp.int32)
         acc_s = _conv_same(q(c1g, "conv9_1s"), ls["kq"], prefer=jnp.int32)
-        h9 = _lrelu(acc_u.astype(jnp.float32) * lu["m"]
-                    + acc_s.astype(jnp.float32) * ls["m"]
+        # bf16 partials before the combine — see dec_conv_q's HBM note
+        pu = (acc_u.astype(jnp.float32) * lu["m"]).astype(dtype)
+        ps = (acc_s.astype(jnp.float32) * ls["m"]).astype(dtype)
+        h9 = _lrelu(pu.astype(jnp.float32) + ps.astype(jnp.float32)
                     + lu["bias"]).astype(dtype)
     else:
         q(up9_in, "conv9_1u")
