@@ -75,21 +75,35 @@ class QuantileHead(nn.Module):
     LOG_TAIL_RANGE = (-2.0, 8.0)
 
     @nn.compact
-    def __call__(self, iso_feat: jnp.ndarray) -> HeadParams:
-        """iso_feat [n, f] -> HeadParams."""
+    def __call__(self, iso_feat: jnp.ndarray,
+                 log_anchor: jnp.ndarray | None = None) -> HeadParams:
+        """iso_feat [n, f] -> HeadParams.
+
+        ``log_anchor`` [n, 1] (optional): a physics-informed additive shift
+        on the support/tail log-scales — e.g. ``log(K(iso)/K(1600))``, the
+        ELD-style log-linear read-noise law. MEASURED NEGATIVE for held-out
+        ISO interpolation on the SonyA7S2 ladder (60k steps, W=128 rows,
+        d=256): trained ISOs unchanged at their floors, but held-out 6400
+        KLD 0.0103 -> 0.0346 (row 0.0104 -> 0.0724) — the true ADU scale
+        laws are not proportional to K, so the residual the anchor forces
+        the MLP to learn varies across ISO and anchor+residual disagree
+        between ladder points. Kept opt-in ('+anchor' mode token) for
+        extrapolation experiments; default off.
+        """
         h = iso_feat
         for i in range(self.nb):
             h = Swish(nn.Dense(self.nf, name=f"fc{i}")(h))
         # d bin heights + log support scale + tail logit + log tail scale
         raw = nn.Dense(self.d + 3, name="bins")(h)
+        shift = 0.0 if log_anchor is None else log_anchor
         heights = nn.softmax(raw[..., : self.d], axis=-1)
         log_scale = jnp.clip(
-            raw[..., self.d : self.d + 1] + self.LOG_SCALE_INIT,
+            raw[..., self.d : self.d + 1] + self.LOG_SCALE_INIT + shift,
             *self.LOG_SCALE_RANGE,
         )
         tail_pi = nn.sigmoid(raw[..., self.d + 1 : self.d + 2] + self.TAIL_LOGIT_INIT)
         tail_b = jnp.exp(jnp.clip(
-            raw[..., self.d + 2 : self.d + 3] + self.LOG_SCALE_INIT,
+            raw[..., self.d + 2 : self.d + 3] + self.LOG_SCALE_INIT + shift,
             *self.LOG_TAIL_RANGE,
         ))
         # Monotone knots on [-1, 1], scaled: v_k = scale * (2*cum_k - 1).
@@ -311,8 +325,15 @@ class PixelWiseISOProxy(nn.Module):
         feat = self._iso_feat(iso)
         n = clean.shape[0]
         feat = jnp.broadcast_to(feat, (n, feat.shape[-1]))
-        hp_px = pixel_head(feat)
-        hp_row = row_head(feat) if row_head is not None else None
+        # '+anchor': shift the heads' log-scales by log(K(iso)/K(1600)).
+        # Opt-in, measured WORSE for held-out-ISO interpolation (see
+        # QuantileHead.__call__ docstring); default mode omits it.
+        log_anchor = None
+        if "anchor" in self.mode:
+            k1600 = self.iso2k[0] * 1600.0 + self.iso2k[1]
+            log_anchor = jnp.log(feat[:, :1] / k1600)
+        hp_px = pixel_head(feat, log_anchor)
+        hp_row = row_head(feat, log_anchor) if row_head is not None else None
 
         if mode == "sample":
             if rng is None:

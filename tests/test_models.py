@@ -163,6 +163,36 @@ def test_proxy_sample_and_loss():
     assert np.isfinite(float(nll))
 
 
+def test_proxy_anchor_mode_scales_with_iso():
+    """'+anchor' shifts the heads' log-scales by log(K(iso)/K(1600)): at
+    init the dark-noise draw spread must grow with ISO (the physics prior),
+    and the loss path must stay finite. Without the anchor the init heads
+    are ISO-constant."""
+    kw = dict(d=64, nf=8, nb=2)
+    clean = jnp.zeros((2, 16, 16, 4))
+    iso = jnp.asarray([800.0, 12800.0])
+    rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+
+    anchored = PixelWiseISOProxy(**kw, mode="2stage+iso+anchor")
+    av = anchored.init(rngs, clean, iso)
+    s = anchored.apply(av, clean, iso, rngs={"sample": jax.random.key(2)},
+                       mode="sample")
+    lo, hi = float(jnp.std(s[0])), float(jnp.std(s[1]))
+    assert np.isfinite([lo, hi]).all()
+    # K(12800)/K(800) ~ 16.1 — require a decisive spread ratio at init
+    assert hi > 4.0 * lo, (lo, hi)
+
+    nll, _ = anchored.apply(av, s, iso, mode="loss")
+    assert np.isfinite(float(nll))
+
+    plain = PixelWiseISOProxy(**kw)
+    pv = plain.init(rngs, clean, iso)
+    sp = plain.apply(pv, clean, iso, rngs={"sample": jax.random.key(2)},
+                     mode="sample")
+    r = float(jnp.std(sp[1])) / max(float(jnp.std(sp[0])), 1e-12)
+    assert r < 4.0, r  # un-anchored init heads are near ISO-constant
+
+
 def test_quantile_dot_matches_gather():
     """quantile_dot (two-hot MXU lookup) == quantile to bf16 knot rounding,
     with and without the Laplace tail, on trained-shaped heads."""

@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--eval-frames", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
+    # Proxy mode string. '+anchor' (physics K(iso)-anchored log-scales) was
+    # measured WORSE held-out: 6400 KLD 0.0103 -> 0.0346 at the banked
+    # settings (60k, --patch 8 --patch-w 128, d=256); see models/proxy.py.
+    ap.add_argument("--mode", type=str, default="2stage+iso")
     a = ap.parse_args(argv)
     pw = a.patch_w or a.patch
 
@@ -81,7 +85,7 @@ def main(argv=None):
         return generate_noisy(key, jnp.zeros((n, patch, patch, 4)),
                               params_at(iso, n), "pgrq", ori=True)
 
-    proxy = PixelWiseISOProxy(d=a.d, nf=16, nb=2)
+    proxy = PixelWiseISOProxy(d=a.d, nf=16, nb=2, mode=a.mode)
     pvars = proxy.init(
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
         jnp.zeros((1, a.patch, pw, 4)), jnp.full((1,), 1600.0),
