@@ -297,6 +297,24 @@ class PixelWiseISOProxy(nn.Module):
     # whole sample in 6.7-7.4 ms (d=256/1024) — 5.3-5.7x. The row stage
     # always uses 'gather' (one draw per (row, channel) is tiny).
     lookup: str = "dot"
+    # Gaussian smoothing (ADU) of the PIXEL stage's modeled law: the pixel
+    # head represents (PWL+Laplace mixture) convolved with N(0, smooth_s0) —
+    # NLL through log_prob_conv_gaussian, sampling adds the matching normal.
+    # This is the fix for the round-4 full-noise KLD plateau (~0.013,
+    # 20-100x above the sampling floor, flat in steps and d): the raw PWL
+    # log_prob is a density CLIFF at the learned support edge, so its
+    # autodiff gradient w.r.t. log_scale is structurally biased (+~1 per
+    # in-core sample; the cost of samples falling off the edge is invisible
+    # to autodiff through the discrete bin assignment) — measured as a
+    # monotone NLL INCREASE under Adam from a near-optimal quantile
+    # construction (tools/oracle_proxy_family.py). Convolving with a small
+    # Gaussian makes the edge gradient exact while staying in-family and
+    # exactly consistent between loss and sampling; 0.3 ADU is invisible
+    # under the integer-ADU KLD binning. The ROW stage already trains
+    # through the convolved likelihood (contamination deconvolution) and
+    # reached its sampling floor in round 3 — the measured contrast that
+    # pinned this diagnosis. 0.0 restores the raw (cliff-gradient) NLL.
+    smooth_s0: float = 0.3
 
     def _iso_feat(self, iso: jnp.ndarray) -> jnp.ndarray:
         """Normalized ISO features: [K(iso), log-ISO] — the '+iso' conditioning."""
@@ -342,7 +360,7 @@ class PixelWiseISOProxy(nn.Module):
         return self._loss(clean, iso, hp_px, hp_row, weight)
 
     def _sample(self, rng, clean, feat, hp_px, hp_row):
-        k_shot, k_px, k_pxc, k_row, k_rowc = jax.random.split(rng, 5)
+        k_shot, k_px, k_pxc, k_row, k_rowc, k_s0 = jax.random.split(rng, 6)
         n, h, w, c = clean.shape
         span = self.wp - self.bl
         K = feat[:, 0].reshape(n, 1, 1, 1)
@@ -356,6 +374,10 @@ class PixelWiseISOProxy(nn.Module):
         qfn = (QuantileHead.quantile_dot if self.lookup == "dot"
                else QuantileHead.quantile)
         read = qfn(hp_px, u_px, c_px)
+        if self.smooth_s0 > 0:
+            # The pixel law is (mixture conv N(0, s0)): add the matching
+            # normal so sampling and the training likelihood agree exactly.
+            read = read + self.smooth_s0 * jax.random.normal(k_s0, clean.shape)
         total = shot + read
         if hp_row is not None:
             u_row = jax.random.uniform(k_row, (n, h, 1, c), minval=1e-6, maxval=1 - 1e-6)
@@ -397,12 +419,22 @@ class PixelWiseISOProxy(nn.Module):
         else:
             row_mean = None
             resid = x
-        lp_px = QuantileHead.log_prob(hp_px, resid)
+        if self.smooth_s0 > 0:
+            # Pixel NLL through the s0-convolved likelihood: the raw PWL
+            # log_prob's support edge is a density cliff whose autodiff
+            # scale gradient is biased (see ``smooth_s0``); the convolved
+            # form sees the edge smoothly and matches _sample's added noise.
+            lp_px = QuantileHead.log_prob_conv_gaussian(
+                hp_px, resid, jnp.float32(self.smooth_s0))
+        else:
+            lp_px = QuantileHead.log_prob(hp_px, resid)
         nll_px = -jnp.sum(lp_px * w) / jnp.maximum(jnp.sum(w), 1e-6)
         if hp_row is not None:
             n = x.shape[0]
+            # Pixel-law variance includes the s0 smoothing the sampler adds.
             var_px = jax.lax.stop_gradient(
-                QuantileHead.variance(hp_px)).reshape(n, 1, 1, 1)
+                QuantileHead.variance(hp_px)).reshape(n, 1, 1, 1
+                ) + self.smooth_s0 ** 2
             s_contam = jnp.sqrt(var_px / wsum_row)
             lp_row = QuantileHead.log_prob_conv_gaussian(
                 hp_row, row_mean, s_contam)

@@ -274,6 +274,7 @@ class Trainer:
                 wp=float(self.dst.get("wp", 16383)),
                 bl=float(self.dst.get("bl", 512)),
                 lookup=arch_proxy.get("lookup", "dot"),
+                smooth_s0=float(arch_proxy.get("smooth_s0", 0.3)),
             )
             clean = jnp.zeros((1, 8, 8, 4))
             self.proxy_vars = self.proxy.init(

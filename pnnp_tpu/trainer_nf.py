@@ -125,6 +125,7 @@ class NFTrainer:
                 d=int(arch.get("d", 1024)), mode=arch.get("mode", "2stage+iso"),
                 wp=float(self.dst.get("wp", 16383)), bl=float(self.dst.get("bl", 512)),
                 lookup=arch.get("lookup", "dot"),
+                smooth_s0=float(arch.get("smooth_s0", 0.3)),
             )
             clean = jnp.zeros((1, patch, patch, 4))
             variables = self.model.init(

@@ -57,6 +57,16 @@ def main(argv=None):
                     "the whole arm scan-chunks on device — per-step host "
                     "round-trips through the tunnel would dominate)")
     ap.add_argument("--cpu", action="store_true")
+    # NULL CONTROL (VERDICT r4 #2): train BOTH arms on the physics law —
+    # identical recipe/init/scene stream, the second arm's noise keys folded
+    # to fresh values — and push the deltas through the exact same eval. If
+    # the real A/B's uniform +0.039 dB proxy advantage were harness scatter,
+    # this control scatters just as wide; if the control reads ~0.000, the
+    # proxy advantage is a real systematic. No proxy is trained in this mode.
+    ap.add_argument("--null", action="store_true",
+                    help="physics-vs-physics control: arm B = same law, "
+                    "different noise keys; measures the harness's own "
+                    "delta scatter")
     a = ap.parse_args(argv)
 
     import jax
@@ -132,6 +142,8 @@ def main(argv=None):
             print(f"[proxy] loaded {a.proxy_ckpt}", file=sys.stderr)
         except FileNotFoundError:
             pass
+    if a.null:
+        loaded = True  # no proxy in the control; arm B is physics re-keyed
     if not loaded:
         pstate = TrainState.create(apply_fn=proxy.apply, params=pparams,
                                    tx=make_adam_direction())
@@ -283,8 +295,20 @@ def main(argv=None):
                   f"ms/step)", file=sys.stderr)
         return model, state
 
+    if a.null:
+        # Arm B: identical physics law, every synth key folded to a fresh
+        # value — different noise realizations, same distribution. The batch
+        # index stream (drawn before the synth key inside the chunk body)
+        # stays identical, so the ONLY difference is the noise draw.
+        def synth_physics_b(key, batch):
+            return synth_physics(jax.random.fold_in(key, 0x9E3779B9), batch)
+
+        arm_b_name, arm_b_synth = "physics2", synth_physics_b
+    else:
+        arm_b_name, arm_b_synth = "proxy", synth_proxy
+
     model_p, state_p = train_arm("physics", synth_physics, seed=11)
-    model_x, state_x = train_arm("proxy", synth_proxy, seed=11)
+    model_x, state_x = train_arm(arm_b_name, arm_b_synth, seed=11)
 
     # ------------- held-out A/B eval ----------------------------------------
     es = make_eval_step(model_p, fast=True)
@@ -317,9 +341,10 @@ def main(argv=None):
                          "heldout_iso": iso_v == HELDOUT_ISO})
 
     deltas = [r["delta"] for r in rows]
+    arm_b = "physics2 (null control)" if a.null else f"proxy ({a.proxy_steps} steps, d={a.d})"
     print(f"\nA/B at recipe patch={a.patch} batch={a.batch} "
-          f"steps={a.unet_steps} (proxy {a.proxy_steps} steps, d={a.d})")
-    print(f"{'ISO':>7} {'ratio':>6} | {'physics':>8} {'proxy':>8} {'delta':>7}")
+          f"steps={a.unet_steps}; arm B = {arm_b}")
+    print(f"{'ISO':>7} {'ratio':>6} | {'physics':>8} {'arm B':>8} {'delta':>7}")
     for r in rows:
         note = " (held-out ISO)" if r["heldout_iso"] else ""
         print(f"{r['iso']:>7} {r['ratio']:>6} | {r['physics_psnr']:>8.3f} "
@@ -327,7 +352,8 @@ def main(argv=None):
     mean_d = float(np.mean(deltas))
     worst_d = float(np.min(deltas))
     print(f"mean delta {mean_d:+.3f} dB, worst {worst_d:+.3f} dB")
-    print(json.dumps({"metric": "ab_proxy_vs_physics",
+    print(json.dumps({"metric": ("ab_null_control" if a.null
+                                 else "ab_proxy_vs_physics"),
                       "mean_delta_db": round(mean_d, 3),
                       "worst_delta_db": round(worst_d, 3),
                       "ok": bool(worst_d > -0.15), "rows": rows}))
