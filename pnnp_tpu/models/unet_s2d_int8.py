@@ -57,6 +57,12 @@ QUANT_LAYERS = (
     "conv8_1u", "conv8_1s", "conv8_2",
     "conv9_1u", "conv9_1s", "conv9_2",
 )
+# Layers quantizable on request but OFF in the default serving set
+# (tools/ablate_int8_quantset.py probes them composed): conv1_1 reads the
+# raw 16-ch packed frame (quantizing it is both an accuracy risk and —
+# measured isolated — SLOWER: narrow 16->128 int8 runs 0.72x bf16); the
+# 2x2 transposes are bf16 glue between quantized bands.
+OPTIONAL_QUANT = ("conv1_1", "upv6", "upv7", "upv8")
 
 
 def _conv_same(t, kk, prefer=None):
@@ -129,14 +135,26 @@ def _walk(tparams, g1, dtype, record=None, qparams=None, record_pct=100.0):
         h = _conv_same(up_t, kk[:, :, :cu]) + _conv_same(skip, kk[:, :, cu:])
         return _lrelu(h + b(name))
 
-    up = lambda t, name: lax.conv_transpose(
-        t, k(name), (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    ) + b(name)
+    def up(t, name):
+        """2x2 stride-2 transpose, int8 on request (OPTIONAL_QUANT probe)."""
+        tq = q(t, name)
+        if qparams is not None and name in qparams["act_scale"]:
+            layer = qparams["layers"][name]
+            acc = lax.conv_transpose(
+                tq, layer["kq"], (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * layer["m"]
+                    + layer["bias"]).astype(dtype)
+        return lax.conv_transpose(
+            t, k(name), (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b(name)
+
     pool = lambda t: lax.reduce_window(
         t, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
     g1 = g1.astype(dtype)
-    c1g = conv_q(_lrelu(_conv_same(g1, k("conv1_1")) + b("conv1_1")), "conv1_2")
+    c1g = conv_q(conv_q(g1, "conv1_1"), "conv1_2")
     p1 = _group_max(c1g)
 
     c2 = conv_q(conv_q(p1, "conv2_1"), "conv2_2")
@@ -199,8 +217,9 @@ def calibrate_act_scales(tparams: dict, frames: Iterable[jnp.ndarray],
         _walk(tparams, g1, dtype, record=rec, record_pct=pct)
         for name, v in rec.items():
             record[name] = max(record.get(name, 0.0), float(v))
-    return {name: max(record.get(name, 0.0), 1e-12) / 127.0
-            for name in QUANT_LAYERS}
+    # every observed input (QUANT_LAYERS + OPTIONAL_QUANT) gets a scale;
+    # quantize_params_int8's `quant` set decides what actually quantizes
+    return {name: max(v, 1e-12) / 127.0 for name, v in record.items()}
 
 
 def quantize_params_int8(tparams: dict, act_scales: dict,

@@ -82,6 +82,33 @@ def make_sharded_train_step(mesh: Mesh, train_step):
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_sharded_noise_step(mesh: Mesh, step):
+    """Data-parallel wrapper for the NF/proxy train steps (trainer_nf.py).
+
+    Same contract as :func:`make_sharded_train_step` but for the noise-model
+    step signature ``step(state, lr, hr, ratio, iso, epoch)``: batch-major
+    inputs are constrained to the ``data`` axis, params stay replicated, and
+    XLA's SPMD partitioner inserts the gradient psum — the TPU analog of the
+    reference's DataParallel wrap of the NF net
+    (reference: trainer_NF_SID.py:82-87). Odd-sized batches (not divisible
+    by the axis) replicate rather than shard, matching shard_batch.
+    """
+    n = mesh.shape["data"]
+
+    def constrain(x):
+        sharded = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
+        spec = P("data") if sharded else P()
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    def wrapped(state, lr_img, hr_img, ratio, iso, epoch):
+        lr_img, hr_img, ratio, iso = (
+            constrain(lr_img), constrain(hr_img), constrain(ratio),
+            constrain(iso))
+        return step(state, lr_img, hr_img, ratio, iso, epoch)
+
+    return jax.jit(wrapped, donate_argnums=(0,))
+
+
 def spatial_eval(mesh: Mesh, apply_fn, image: jnp.ndarray, halo: int = 32):
     """Full-frame eval with the W axis sharded over the mesh's spatial axis.
 

@@ -24,6 +24,7 @@ from pnnp_tpu.config import load_runfile
 from pnnp_tpu.data import build_dataset, DataLoader
 from pnnp_tpu.models import NoiseFlow, PixelWiseISOProxy
 from pnnp_tpu.ops.kld import kl_div_norm_device
+from pnnp_tpu.parallel import make_mesh, make_sharded_noise_step, replicate, shard_batch
 from pnnp_tpu.train import CheckpointManager, build_lr_schedule
 from pnnp_tpu.train.state import make_adam_direction, apply_scaled_updates, TrainState
 from pnnp_tpu.utils.logging import AverageMeter, log
@@ -159,6 +160,15 @@ class NFTrainer:
             if self.kind == "proxy"
             else make_nf_train_step(self.model, self.lr_schedule)
         )
+        # Data-parallel mesh (reference DataParallel-wraps the NF net too,
+        # trainer_NF_SID.py:82-87): batch shards over 'data', params
+        # replicate, XLA psums the gradients. Single device -> no mesh.
+        n_dev = jax.device_count()
+        self.mesh = make_mesh(n_data=n_dev, n_spatial=1) if n_dev > 1 else None
+        self._base_train_step = self.train_step  # unsharded (parity tests)
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+            self.train_step = make_sharded_noise_step(self.mesh, self.train_step)
         self.ckpt = CheckpointManager(
             self.args.get("fast_ckpt", "checkpoints"),
             self.args.get("checkpoint", "saved_model"),
@@ -215,17 +225,21 @@ class NFTrainer:
         bl = float(self.dst.get("bl", 512))
 
         def to_device(batch):
-            lr_img = jnp.asarray(batch["lr"])
-            hr_img = jnp.asarray(batch["hr"])
-            ratio = jnp.asarray(batch["ratio"]).reshape(-1)
+            lr_img = np.asarray(batch["lr"])
+            hr_img = np.asarray(batch["hr"])
+            ratio = np.asarray(batch["ratio"]).reshape(-1)
             if "iso" in batch:
-                iso = jnp.asarray(batch["iso"]).reshape(-1)
+                iso = np.asarray(batch["iso"]).reshape(-1)
             else:  # datasets without per-item ISO: the dst block's value
                 default_iso = float(self.dst.get("iso") or (
                     6400.0 if "IMX686" in str(self.dst.get("camera_type"))
                     else 1600.0))
-                iso = jnp.full((ratio.shape[0],), default_iso)
-            return lr_img, hr_img, ratio, iso
+                iso = np.full((ratio.shape[0],), default_iso, np.float32)
+            tree = (lr_img, hr_img, ratio, iso)
+            if self.mesh is not None:  # batch-shard over the data axis
+                return shard_batch(self.mesh, tree,
+                                   batch_dim_size=ratio.shape[0])
+            return jax.tree.map(jnp.asarray, tree)
 
         # Fixed HELD-OUT scoring batch: epoch 0 is never a training epoch, so
         # its first batch gives a deterministic sample the per-epoch ordering

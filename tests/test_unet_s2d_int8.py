@@ -78,7 +78,12 @@ def test_int8_forward_end_to_end(setup):
     tparams, g1 = setup
     scales = calibrate_act_scales(
         tparams, [g1, g1 * 0.3 + 0.01])
-    assert set(scales) == set(QUANT_LAYERS)
+    # every default quant input gets a scale; the OPTIONAL_QUANT probes
+    # (conv1_1, upvN) are also observed but only quantize on request
+    from pnnp_tpu.models.unet_s2d_int8 import OPTIONAL_QUANT
+
+    assert set(QUANT_LAYERS) <= set(scales)
+    assert set(scales) <= set(QUANT_LAYERS) | set(OPTIONAL_QUANT)
     qp = quantize_params_int8(tparams, scales)
 
     ref = np.asarray(unet_hybrid_forward_packed(tparams, g1), np.float32)
@@ -141,3 +146,24 @@ def test_int8_partial_quant_ablation(setup):
     ref = np.asarray(unet_hybrid_forward_packed(tparams, g1), np.float32)
     rel = np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-9)
     assert np.isfinite(out).all() and rel < 0.03, rel
+
+
+def test_optional_quant_layers_run(setup):
+    """OPTIONAL_QUANT (conv1_1 + upvN) quantize on request: the forward
+    runs, stays finite, and tracks the bf16 reference (speed probes in
+    tools/ablate_int8_quantset.py; accuracy must be validated separately
+    before any production use)."""
+    from pnnp_tpu.models.unet_s2d_int8 import OPTIONAL_QUANT
+
+    tparams, g1 = setup
+    scales = calibrate_act_scales(tparams, [g1, g1 * 0.3 + 0.01])
+    qp = quantize_params_int8(tparams, scales,
+                              quant=QUANT_LAYERS + OPTIONAL_QUANT)
+    assert "conv1_1" in qp["layers"] and "upv8" in qp["layers"]
+    ref = np.asarray(unet_hybrid_forward_packed(tparams, g1), np.float32)
+    out = np.asarray(unet_hybrid_forward_packed_int8(tparams, qp, g1),
+                     np.float32)
+    assert out.shape == ref.shape and np.isfinite(out).all()
+    rel = np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert rel < 0.25, f"relative deviation {rel:.4f}"  # more layers, looser
+    assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.98

@@ -44,6 +44,13 @@ SUBSETS = {
     "L1only": L1,
     # the interior pyramid without level 1 (locates where the win comes from)
     "deep_only": tuple(n for n in QUANT_LAYERS if n not in L64 + L1),
+    # VERDICT r4 #3 probes (OPTIONAL_QUANT, speed-only — accuracy unvalidated):
+    # quantize the bf16 head conv (isolated 16->128 int8 measured 0.72x bf16
+    # — does the composed schedule change the verdict?) ...
+    "all+c11": QUANT_LAYERS + ("conv1_1",),
+    # ... and the 2x2 upsample transposes between quantized bands
+    "all+upv": QUANT_LAYERS + ("upv6", "upv7", "upv8"),
+    "all+c11+upv": QUANT_LAYERS + ("conv1_1", "upv6", "upv7", "upv8"),
 }
 
 

@@ -115,13 +115,33 @@ def validate(a, jnp, jax):
         lr = generate_noisy(jax.random.split(key)[1], hr, p, "prq")
         return jnp.clip(lr, -np.inf, 1.0)
 
-    # Calibration traffic: separate scenes + noise draws, mixed ratios.
-    cal_rng = np.random.default_rng(7)
-    cal_frames = []
-    cal_ratios = (1, 4, 16) if a.camera == "IMX686" else ratios
-    for i, ratio in enumerate(cal_ratios):
-        hr = jnp.asarray(synthetic_scenes(cal_rng, 1, a.eval_size))
-        cal_frames.append(s2d(noisy(jax.random.key(500 + i), hr, ratio)))
+    # Held-out frames, pre-generated so the calibration modes below can
+    # reference them (seed disjoint from training's 1997 and calibration's 7).
+    ev_rng = np.random.default_rng(42)
+    eval_frames = {}
+    for ratio in ratios:
+        eval_frames[ratio] = []
+        for i in range(a.eval_frames):
+            hr = jnp.asarray(synthetic_scenes(ev_rng, 1, a.eval_size))
+            lr = noisy(jax.random.key(1000 + 31 * i + ratio), hr, ratio)
+            eval_frames[ratio].append((hr, lr))
+
+    if a.cal_from_eval:
+        # EXACTLY Trainer._int8_eval_step's production recipe (trainer.py):
+        # calibrate from the FIRST eval frame — one frame, non-disjoint
+        # traffic. This measures whether the one-frame shortcut costs
+        # accuracy vs the gated multi-frame disjoint calibration.
+        cal_frames = [s2d(eval_frames[ratios[0]][0][1])]
+    else:
+        # Calibration traffic: separate scenes + noise draws, mixed ratios.
+        cal_rng = np.random.default_rng(7)
+        cal_frames = []
+        cal_ratios = (1, 4, 16) if a.camera == "IMX686" else ratios
+        for i, ratio in enumerate(cal_ratios):
+            hr = jnp.asarray(synthetic_scenes(cal_rng, 1, a.eval_size))
+            cal_frames.append(s2d(noisy(jax.random.key(500 + i), hr, ratio)))
+        if a.cal_frames > 0:
+            cal_frames = cal_frames[: a.cal_frames]
 
     # One int8 path per calibration percentile (the f32/bf16 references and
     # the held-out frames are shared across the sweep).
@@ -140,15 +160,12 @@ def validate(a, jnp, jax):
         jax.tree.map(lambda t: t.astype(jnp.float32), tparams),
         g, dtype=jnp.float32)))
 
-    # Held-out frames (seed disjoint from training's 1997 and calibration's 7).
-    ev_rng = np.random.default_rng(42)
     rows = {pct: [] for pct in pcts}
     for ratio in ratios:
         p32 = p16 = pin = 0.0
         p8 = {pct: 0.0 for pct in pcts}
         for i in range(a.eval_frames):
-            hr = jnp.asarray(synthetic_scenes(ev_rng, 1, a.eval_size))
-            lr = noisy(jax.random.key(1000 + 31 * i + ratio), hr, ratio)
+            hr, lr = eval_frames[ratio][i]
             g = s2d(lr)
             m = lambda dn: float(psnr(jnp.clip(dn, 0, 1) * 255, hr * 255))
             p32 += m(fwd_f32(g)); p16 += m(fwd_b16(g)); pin += m(lr)
@@ -176,6 +193,8 @@ def validate(a, jnp, jax):
     print(json.dumps({
         "metric": "int8_psnr_delta", "value": round(delta, 4), "unit": "dB",
         "camera": a.camera, "cal_pct": best,
+        "cal_mode": ("one-frame-from-eval" if a.cal_from_eval
+                     else f"disjoint x{len(cal_frames)}"),
         "worst_ratio_delta": round(worst, 4),
         "bf16_vs_f32": round(float(np.mean(
             [r["psnr_bf16"] - r["psnr_f32"] for r in rows[best]])), 4),
@@ -204,6 +223,14 @@ def main(argv=None):
                     help="IMX686 uses the LRID law (point ISO-6400, only K "
                          "jittered) and the dgain ladder {1,2,4,8,16}")
     ap.add_argument("--ckpt", default="/tmp/pnnp_int8_ckpt.npz")
+    ap.add_argument("--cal-frames", type=int, default=0,
+                    help="restrict the disjoint calibration traffic to the "
+                         "first N frames (0 = all)")
+    ap.add_argument("--cal-from-eval", action="store_true",
+                    help="calibrate from the FIRST eval frame — exactly the "
+                         "Trainer --int8 one-frame recipe "
+                         "(trainer.py _int8_eval_step); measures the "
+                         "production shortcut's PSNR delta")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     a = ap.parse_args(argv)
