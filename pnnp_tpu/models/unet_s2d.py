@@ -68,6 +68,33 @@ def d2s_np(g):
     return x.reshape(n, 2 * h, 2 * w, c)
 
 
+def pack_frame_sharded_np(x, nsp: int, halo: int = 96, mult: int = 16):
+    """Host pre-pack for the WIDTH-SHARDED fused eval (parallel/mesh.py).
+
+    Pads ``[N, H, W, 4]`` symmetrically to ``%mult`` rows and ``%(mult*nsp)``
+    columns (the sharded step's own pad geometry, pad_split-lockstep), packs
+    with :func:`s2d_np`, and also returns the two PACKED edge-reflect halo
+    blocks (``halo`` unpacked columns each) the edge shards need — interior
+    halos travel between shards as packed ppermutes (exact: shard boundaries
+    align to 2x2 superpixels), but the mirror reflection at the frame edges
+    is superpixel-breaking, so the host computes it where the relayout is
+    free. Returns ``(g, halo_left, halo_right)``.
+    """
+    from pnnp_tpu.train.steps import pad_split
+
+    assert halo % 2 == 0, halo
+    H, W = x.shape[1], x.shape[2]
+    pt, pb = pad_split(H, mult)
+    pl, pr = pad_split(W, mult * nsp)
+    xp = np.asarray(x)
+    if pt or pb or pl or pr:
+        xp = np.pad(xp, ((0, 0), (pt, pb), (pl, pr), (0, 0)), mode="reflect")
+    g = s2d_np(xp)
+    hl = s2d_np(np.ascontiguousarray(xp[:, :, 1:halo + 1][:, :, ::-1]))
+    hr = s2d_np(np.ascontiguousarray(xp[:, :, -halo - 1:-1][:, :, ::-1]))
+    return g, hl, hr
+
+
 def pack_frame_np(x, mult: int = 16):
     """Symmetric-reflect-pad ``[N, H, W, 4]`` to ``%mult`` and s2d-pack to
     ``[N, H'/2, W'/2, 16]`` — the host mirror of the fused eval step's

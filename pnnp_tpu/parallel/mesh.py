@@ -223,15 +223,26 @@ def make_eval_metrics_step_sharded(model, mesh: Mesh, halo: int = 96,
     fallback = make_eval_metrics_step(model, qparams=qparams)
 
     def step(tparams, lr, hr, ratio, *, ori=False, correct=True,
-             with_inputs=False):
+             with_inputs=False, halos=None):
         if lr.ndim == 3:
             lr = lr.reshape(1, lr.shape[1], -1, 4)
         if hr.ndim == 3:
             hr = hr.reshape(1, hr.shape[1], -1, 4)
-        assert lr.shape[-1] == 4, (
-            "sharded fused eval consumes unpacked frames (host pre-packing "
-            "is single-device geometry)")
-        H, W = int(lr.shape[1]), int(lr.shape[2])
+        # Host pre-packed input (models/unet_s2d.pack_frame_sharded_np):
+        # lr arrives s2d-packed at the SHARDED pad geometry (%16 rows,
+        # %(16*nsp) cols) with the two edge-reflect halo blocks computed on
+        # the host — the multi-chip version of the single-device loader
+        # pre-pack (the ~7 ms/frame on-device input relayout leaves the
+        # critical path; interior halos ride ICI as packed ppermutes, which
+        # are exact because shard boundaries align to superpixels).
+        packed = lr.shape[-1] == 16
+        if packed:
+            assert halos is not None, (
+                "pre-packed sharded input requires the host edge halos "
+                "(pack_frame_sharded_np returns them)")
+            H, W = int(hr.shape[1]), int(hr.shape[2])
+        else:
+            H, W = int(lr.shape[1]), int(lr.shape[2])
         pt, pb = pad_split(H, 16)
         pl, pr = pad_split(W, 16 * nsp)
         Hp, Wp = H + pt + pb, W + pl + pr
@@ -242,11 +253,20 @@ def make_eval_metrics_step_sharded(model, mesh: Mesh, halo: int = 96,
             and Wp - W < W and Hp - H < H           # reflect pad legal
         )
         if not viable:
+            if packed:  # rare: recover the unpacked frame for the fallback
+                lr = d2s(lr)[:, pt:pt + H, pl:pl + W, :]
             return fallback(tparams, lr, hr, ratio, ori=ori, correct=correct,
                             with_inputs=with_inputs)
 
         pad = ((0, 0), (pt, pb), (pl, pr), (0, 0))
-        lrp = jnp.pad(lr, pad, mode="reflect") if (pt or pb or pl or pr) else lr
+        if packed:
+            assert lr.shape == (1, Hp // 2, Wp // 2, 16), (
+                lr.shape, (1, Hp // 2, Wp // 2, 16),
+                "pre-packed frame does not match the sharded pad geometry")
+            lrp = lr
+        else:
+            lrp = (jnp.pad(lr, pad, mode="reflect")
+                   if (pt or pb or pl or pr) else lr)
         hrp = jnp.pad(hr, pad, mode="reflect") if (pt or pb or pl or pr) else hr
         r = jnp.asarray(ratio, jnp.float32).reshape(())
         ring_left = [(i, (i + 1) % nsp) for i in range(nsp)]
@@ -276,19 +296,9 @@ def make_eval_metrics_step_sharded(model, mesh: Mesh, halo: int = 96,
                               b4[0, :, wloc - pr - 6:] * 255.0)
             return total - jnp.where(idx == nsp - 1, cr, 0.0)
 
-        def worker(tp, lr_s, hr_s, r_):
-            idx = jax.lax.axis_index(axis)
-            # --- halo'd packed forward (spatial_eval geometry) -----------
-            from_left = jax.lax.ppermute(lr_s[:, :, -halo:, :], axis, ring_left)
-            from_right = jax.lax.ppermute(lr_s[:, :, :halo, :], axis, ring_right)
-            reflect_l = lr_s[:, :, 1:halo + 1, :][:, :, ::-1, :]
-            reflect_r = lr_s[:, :, -halo - 1:-1, :][:, :, ::-1, :]
-            from_left = jnp.where(idx == 0, reflect_l, from_left)
-            from_right = jnp.where(idx == nsp - 1, reflect_r, from_right)
-            slab = jnp.concatenate([from_left, lr_s, from_right], axis=2)
-            g1 = s2d(slab)
-            dnp = fwd(tp, g1, g1 if res else None)
-            dn4 = d2s(dnp).astype(jnp.float32)[:, pt:pt + H, halo:-halo, :]
+        def tail(idx, dn4, hr_s, lr_in4, r_):
+            """Shared metric tail: dn4 [1, H, wloc, 4] (cropped), hr_s the
+            padded unpacked shard, lr_in4 [1, H, wloc, 4] or None."""
             hr4 = hr_s[:, pt:pt + H].astype(jnp.float32)
             flat = lambda t: t.reshape(t.shape[1], -1)  # [H, wloc*4]
             dnf, hrf = flat(dn4), flat(hr4)
@@ -297,7 +307,7 @@ def make_eval_metrics_step_sharded(model, mesh: Mesh, halo: int = 96,
             m = jnp.repeat(((gcol >= pl) & (gcol < pl + W))
                            .astype(jnp.float32), 4)[None, :]
             if with_inputs:
-                lrf = flat(lr_s[:, pt:pt + H].astype(jnp.float32))
+                lrf = flat(lr_in4.astype(jnp.float32))
             if ori:
                 dnf = dnf * r_
                 if with_inputs:
@@ -335,19 +345,58 @@ def make_eval_metrics_step_sharded(model, mesh: Mesh, halo: int = 96,
                 return dn4c, metrics, lr4c
             return dn4c, metrics
 
+        def worker(tp, lr_s, hr_s, r_):
+            """Unpacked input: on-device reflect/ppermute halo + s2d."""
+            idx = jax.lax.axis_index(axis)
+            from_left = jax.lax.ppermute(lr_s[:, :, -halo:, :], axis, ring_left)
+            from_right = jax.lax.ppermute(lr_s[:, :, :halo, :], axis, ring_right)
+            reflect_l = lr_s[:, :, 1:halo + 1, :][:, :, ::-1, :]
+            reflect_r = lr_s[:, :, -halo - 1:-1, :][:, :, ::-1, :]
+            from_left = jnp.where(idx == 0, reflect_l, from_left)
+            from_right = jnp.where(idx == nsp - 1, reflect_r, from_right)
+            slab = jnp.concatenate([from_left, lr_s, from_right], axis=2)
+            g1 = s2d(slab)
+            dnp = fwd(tp, g1, g1 if res else None)
+            dn4 = d2s(dnp).astype(jnp.float32)[:, pt:pt + H, halo:-halo, :]
+            lr_in4 = lr_s[:, pt:pt + H] if with_inputs else None
+            return tail(idx, dn4, hr_s, lr_in4, r_)
+
+        def worker_packed(tp, g_s, hr_s, hl_, hr_halo_, r_):
+            """Pre-packed input: packed ppermute halos (exact — shard
+            boundaries align to 2x2 superpixels), host-computed edge
+            reflect halos, ZERO on-device input relayout."""
+            idx = jax.lax.axis_index(axis)
+            hc = halo // 2
+            from_left = jax.lax.ppermute(g_s[:, :, -hc:, :], axis, ring_left)
+            from_right = jax.lax.ppermute(g_s[:, :, :hc, :], axis, ring_right)
+            from_left = jnp.where(idx == 0, hl_, from_left)
+            from_right = jnp.where(idx == nsp - 1, hr_halo_, from_right)
+            g1 = jnp.concatenate([from_left, g_s, from_right], axis=2)
+            dnp = fwd(tp, g1, g1 if res else None)
+            dn4 = d2s(dnp).astype(jnp.float32)[:, pt:pt + H, halo:-halo, :]
+            # the input panel (plot sweeps only) pays a shard-local d2s
+            lr_in4 = (d2s(g_s)[:, pt:pt + H] if with_inputs else None)
+            return tail(idx, dn4, hr_s, lr_in4, r_)
+
         sp = P(None, None, axis, None)
-        if with_inputs:
-            dn, metrics, lr_out = shard_map(
-                worker, mesh=mesh,
-                in_specs=(P(), sp, sp, P()),
-                out_specs=(sp, P(), sp),
-            )(tparams, lrp, hrp, r)
+        out_specs = (sp, P(), sp) if with_inputs else (sp, P())
+        if packed:
+            hl_, hr_halo_ = halos
+            outs = shard_map(
+                worker_packed, mesh=mesh,
+                in_specs=(P(), sp, sp, P(), P(), P()),
+                out_specs=out_specs,
+            )(tparams, lrp, hrp, hl_, hr_halo_, r)
         else:
-            dn, metrics = shard_map(
+            outs = shard_map(
                 worker, mesh=mesh,
                 in_specs=(P(), sp, sp, P()),
-                out_specs=(sp, P()),
+                out_specs=out_specs,
             )(tparams, lrp, hrp, r)
+        if with_inputs:
+            dn, metrics, lr_out = outs
+        else:
+            dn, metrics = outs
         dn = dn[:, :, pl:pl + W, :]  # rows were cropped shard-local
         dnf = dn.reshape(1, H, W * 4)
         if with_inputs:

@@ -638,13 +638,25 @@ class Trainer:
         # path; the fused step's packed branch recovers crop dims from hr.
         pack_eval = (
             self._fused_eval is not None and not self.rgb_metrics
-            # host pre-packing bakes single-device pad geometry into the
-            # frame; the sharded fused step pads to %(16*nsp) itself
-            and self.mesh_spatial is None
             # plotting sweeps keep the packed branch too: the fused step
             # returns the (ori-scaled, clipped) input panel via with_inputs
         )
-        if pack_eval:
+        if pack_eval and self.mesh_spatial is not None:
+            # multi-chip: pre-pack at the SHARDED pad geometry (%16*nsp
+            # cols) with host-computed edge-reflect halos; interior halos
+            # ride ICI as packed ppermutes (parallel/mesh.py packed branch)
+            from pnnp_tpu.models.unet_s2d import pack_frame_sharded_np
+
+            _nsp = self.mesh_spatial.shape["spatial"]
+            _halo = self.spatial_halo
+
+            def _pack(batch):
+                g, hl, hr_ = pack_frame_sharded_np(
+                    np.asarray(batch["lr"]), _nsp, halo=_halo)
+                batch["lr"] = g
+                batch["lr_halos"] = (hl, hr_)
+                return batch
+        elif pack_eval:
             from pnnp_tpu.models.unet_s2d import pack_frame_np
 
             def _pack(batch):
@@ -665,11 +677,15 @@ class Trainer:
                 # corrected frame channel-interleaved flat [1, H, W*4]
                 step_fn = (self._int8_eval_step(lr) if self.int8_eval
                            else self._fused_eval)
+                kw = {}
+                if "lr_halos" in batch:  # sharded pre-pack: edge halos
+                    kw["halos"] = tuple(
+                        jnp.asarray(h) for h in batch["lr_halos"])
                 out = step_fn(
                     self._fused_tp(), lr, hr,
                     jnp.asarray(batch["ratio"]).reshape(-1)[0],
                     ori=ori, correct=bool(brightness_correct and epoch < 0),
-                    with_inputs=self.save_plot,
+                    with_inputs=self.save_plot, **kw,
                 )
                 dnf, m = out[:2]
                 p, s = float(m["psnr"]), float(m["ssim"])

@@ -53,6 +53,9 @@ def main(argv=None):
     # regularization, same direction as the d=1024 interpolation cost.
     # Default off; opt in for extrapolation-free per-ISO studies.
     ap.add_argument("--lr-decay", action="store_true")
+    ap.add_argument("--save", default="",
+                    help="pickle the trained proxy params here (post-hoc "
+                         "diagnostics: tools/diagnose_proxy_fit.py)")
     a = ap.parse_args(argv)
     pw = a.patch_w or a.patch
 
@@ -156,6 +159,13 @@ def main(argv=None):
         state, nll = train_chunk(state, jax.random.split(sub, n))
         done += n
         print(f"  step {done}: nll/dim={float(nll):.4f}", file=sys.stderr)
+
+    if a.save:
+        import pickle
+
+        with open(a.save, "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, state.params), f)
+        print(f"saved params -> {a.save}", file=sys.stderr)
 
     def score(iso, key):
         k1, k2, k3 = jax.random.split(key, 3)
