@@ -315,6 +315,14 @@ class PixelWiseISOProxy(nn.Module):
     # reached its sampling floor in round 3 — the measured contrast that
     # pinned this diagnosis. 0.0 restores the raw (cliff-gradient) NLL.
     smooth_s0: float = 0.3
+    # Row-deconvolution contamination variance source: 'model' (the pixel
+    # head's closed-form variance + s0^2, stop-grad, EM-style) or
+    # 'empirical' (the batch's weighted mean resid^2, stop-grad) — the
+    # latter removes the circular dependence on the pixel fit (a biased
+    # model variance over/under-deconvolves the row law, and an UNDER-
+    # dispersed row law is the catastrophic direction downstream: the
+    # denoiser never learns to remove real-strength banding).
+    contam: str = "model"
 
     def _iso_feat(self, iso: jnp.ndarray) -> jnp.ndarray:
         """Normalized ISO features: [K(iso), log-ISO] — the '+iso' conditioning."""
@@ -431,10 +439,20 @@ class PixelWiseISOProxy(nn.Module):
         nll_px = -jnp.sum(lp_px * w) / jnp.maximum(jnp.sum(w), 1e-6)
         if hp_row is not None:
             n = x.shape[0]
-            # Pixel-law variance includes the s0 smoothing the sampler adds.
-            var_px = jax.lax.stop_gradient(
-                QuantileHead.variance(hp_px)).reshape(n, 1, 1, 1
-                ) + self.smooth_s0 ** 2
+            if self.contam == "empirical":
+                # batch-empirical pixel variance: resid is already the
+                # sqrt(W/(W-1))-corrected residual, so its weighted mean
+                # square estimates the OBSERVED pixel-noise variance
+                # directly, without trusting the pixel fit
+                var_px = jax.lax.stop_gradient(
+                    jnp.sum(resid ** 2 * w, axis=(1, 2, 3), keepdims=True)
+                    / jnp.maximum(jnp.sum(w, axis=(1, 2, 3), keepdims=True),
+                                  1.0))
+            else:
+                # Pixel-law variance incl. the s0 smoothing the sampler adds.
+                var_px = jax.lax.stop_gradient(
+                    QuantileHead.variance(hp_px)).reshape(n, 1, 1, 1
+                    ) + self.smooth_s0 ** 2
             s_contam = jnp.sqrt(var_px / wsum_row)
             lp_row = QuantileHead.log_prob_conv_gaussian(
                 hp_row, row_mean, s_contam)

@@ -37,6 +37,14 @@ sys.path.insert(0, ".")
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--proxy-steps", type=int, default=20000)
+    # Proxy-training crop geometry. Wide rows at constant pixel budget are
+    # the measured lever for the row stage (STATUS r4: the per-row-mean
+    # contamination std scales as sigma_px/sqrt(W); W=128 took the ISO-12800
+    # row KLD from 12x to 2.9x its sampling floor) — and an under-trained
+    # row law is exactly what the denoiser A/B is most sensitive to at
+    # high ISO x ratio (banding that survives amplification).
+    ap.add_argument("--proxy-patch", type=int, default=8)
+    ap.add_argument("--proxy-patch-w", type=int, default=128)
     ap.add_argument("--unet-steps", type=int, default=4000)
     ap.add_argument("--patch", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
@@ -149,13 +157,15 @@ def main(argv=None):
                                    tx=make_adam_direction())
         n_tr = len(TRAIN_ISOS)
 
+        pp, pw = a.proxy_patch, a.proxy_patch_w
+
         @jax.jit
         def proxy_chunk(state, keys):
             def body(st, k):
                 k1, k2 = jax.random.split(k)
                 idx = jax.random.randint(k1, (), 0, n_tr)
                 noise = generate_noisy(
-                    k2, jnp.zeros((8, 32, 32, 4)),
+                    k2, jnp.zeros((8, pp, pw, 4)),
                     params_from_idx(idx, 8, jnp.ones((8,))), "pgrq", ori=True)
 
                 def loss_fn(params):

@@ -101,6 +101,20 @@ def main(argv=None):
               f"{v_model / max(v_true, 1e-9):6.3f} | {row_std:13.3f} "
               f"{sigR:6.3f} {row_std / sigR:6.3f} {kld:8.4f} | "
               f"({pxp[0]:.3f},{pxp[1]:.1f}) ({rwp[0]:.3f},{rwp[1]:.1f})")
+        # pixel tail mass: model (full sampling path incl. s0) vs physics —
+        # the amplified-ratio training regime lives in these quantiles
+        k6, k7, k8 = jax.random.split(jax.random.key(iso + 9), 3)
+        um = jax.random.uniform(k6, (1, M), minval=1e-6, maxval=1 - 1e-6)
+        cm = jax.random.uniform(k7, (1, M))
+        px_draw = (QuantileHead.quantile(hp_px, um, cm)[0]
+                   + a.s0 * jax.random.normal(k8, (M,)))
+        sig = float(jnp.sqrt(jnp.maximum(v_true, 1e-9)))
+        tails = []
+        for kk in (3.0, 5.0, 10.0):
+            pm = float(jnp.mean((jnp.abs(px_draw) > kk * sig)))
+            pt_ = float(jnp.mean((jnp.abs(true) > kk * sig)))
+            tails.append(f"P>|{kk:.0f}s|: model {pm:.2e} true {pt_:.2e}")
+        print(f"{'':>7}   tail   " + "   ".join(tails))
 
 
 if __name__ == "__main__":

@@ -53,6 +53,9 @@ def main(argv=None):
     # regularization, same direction as the d=1024 interpolation cost.
     # Default off; opt in for extrapolation-free per-ISO studies.
     ap.add_argument("--lr-decay", action="store_true")
+    ap.add_argument("--s0", type=float, default=0.3,
+                    help="pixel-stage likelihood smoothing (ADU); 0 = the "
+                         "pre-round-5 cliff-gradient NLL (A/B control)")
     ap.add_argument("--save", default="",
                     help="pickle the trained proxy params here (post-hoc "
                          "diagnostics: tools/diagnose_proxy_fit.py)")
@@ -95,7 +98,8 @@ def main(argv=None):
         return generate_noisy(key, jnp.zeros((n, patch, patch, 4)),
                               params_at(iso, n), "pgrq", ori=True)
 
-    proxy = PixelWiseISOProxy(d=a.d, nf=16, nb=2, mode=a.mode)
+    proxy = PixelWiseISOProxy(d=a.d, nf=16, nb=2, mode=a.mode,
+                              smooth_s0=a.s0)
     pvars = proxy.init(
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
         jnp.zeros((1, a.patch, pw, 4)), jnp.full((1,), 1600.0),
