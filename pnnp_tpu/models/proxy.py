@@ -76,8 +76,11 @@ class QuantileHead(nn.Module):
 
     @nn.compact
     def __call__(self, iso_feat: jnp.ndarray,
-                 log_anchor: jnp.ndarray | None = None) -> HeadParams:
-        """iso_feat [n, f] -> HeadParams.
+                 log_anchor: jnp.ndarray | None = None,
+                 return_raw: bool = False) -> HeadParams:
+        """iso_feat [n, f] -> HeadParams (or the raw pre-activation MLP
+        output [n, d+3] with ``return_raw`` — used by the ISO-curvature
+        smoothness penalty, which needs the unconstrained coordinates).
 
         ``log_anchor`` [n, 1] (optional): a physics-informed additive shift
         on the support/tail log-scales — e.g. ``log(K(iso)/K(1600))``, the
@@ -95,6 +98,8 @@ class QuantileHead(nn.Module):
             h = Swish(nn.Dense(self.nf, name=f"fc{i}")(h))
         # d bin heights + log support scale + tail logit + log tail scale
         raw = nn.Dense(self.d + 3, name="bins")(h)
+        if return_raw:
+            return raw
         shift = 0.0 if log_anchor is None else log_anchor
         heights = nn.softmax(raw[..., : self.d], axis=-1)
         log_scale = jnp.clip(
@@ -323,6 +328,24 @@ class PixelWiseISOProxy(nn.Module):
     # dispersed row law is the catastrophic direction downstream: the
     # denoiser never learns to remove real-strength banding).
     contam: str = "model"
+    # ISO-curvature smoothness penalty (opt-in, weight 0 = off): the exact
+    # per-ISO fits the smooth_s0 likelihood reaches leave the conditioning
+    # MLP free to sag BETWEEN ladder anchors — measured on the SonyA7S2
+    # 4-ISO ladder (tools/diagnose_proxy_fit.py): held-out 6400 pixel
+    # variance 0.65-0.85x true, row std 0.80-0.89x, tails 2-4x light, while
+    # every trained ISO sits at 0.98-1.04x. Under-dispersed interpolation is
+    # the catastrophic direction downstream (the denoiser never sees
+    # real-strength noise at interpolated ISOs). The penalty is the mean
+    # squared second difference of each head's RAW MLP output along a
+    # uniform log-ISO grid (heights-logits mean-centered first — softmax
+    # gauge), pushing the conditioning toward log-linear interpolation
+    # between anchors (log-linear lands the 6400 variance ~10% OVER — the
+    # benign side). Grid must be uniform in log-ISO; default spans the Sony
+    # trained ladder at half-octave spacing.
+    smooth_iso_w: float = 0.0
+    smooth_iso_grid: Sequence[float] = (
+        800.0, 1131.4, 1600.0, 2262.7, 3200.0, 4525.5, 6400.0, 9050.9,
+        12800.0)
 
     def _iso_feat(self, iso: jnp.ndarray) -> jnp.ndarray:
         """Normalized ISO features: [K(iso), log-ISO] — the '+iso' conditioning."""
@@ -365,7 +388,31 @@ class PixelWiseISOProxy(nn.Module):
             if rng is None:
                 rng = self.make_rng("sample")
             return self._sample(rng, clean, feat, hp_px, hp_row)
-        return self._loss(clean, iso, hp_px, hp_row, weight)
+        nll, aux = self._loss(clean, iso, hp_px, hp_row, weight)
+        if self.smooth_iso_w > 0:
+            pen = self._iso_curvature(pixel_head, row_head)
+            nll = nll + self.smooth_iso_w * pen
+            aux = dict(aux, iso_curvature=pen)
+        return nll, aux
+
+    def _iso_curvature(self, pixel_head, row_head):
+        """Mean-square second difference of the heads' raw outputs along the
+        (uniform in log-ISO) ``smooth_iso_grid`` — see ``smooth_iso_w``."""
+        grid = jnp.asarray(self.smooth_iso_grid, jnp.float32)
+        feat_g = self._iso_feat(grid)
+
+        def curv(head):
+            raw = head(feat_g, return_raw=True)          # [G, d+3]
+            hl = raw[:, : self.d]
+            hl = hl - jnp.mean(hl, axis=-1, keepdims=True)  # softmax gauge
+            y = jnp.concatenate([hl, raw[:, self.d:]], axis=-1)
+            d2 = y[2:] - 2.0 * y[1:-1] + y[:-2]
+            return jnp.mean(d2 ** 2)
+
+        pen = curv(pixel_head)
+        if row_head is not None:
+            pen = pen + curv(row_head)
+        return pen
 
     def _sample(self, rng, clean, feat, hp_px, hp_row):
         k_shot, k_px, k_pxc, k_row, k_rowc, k_s0 = jax.random.split(rng, 6)

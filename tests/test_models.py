@@ -163,6 +163,50 @@ def test_proxy_sample_and_loss():
     assert np.isfinite(float(nll))
 
 
+def test_proxy_iso_curvature_penalty():
+    """smooth_iso_w: zero for ISO-constant conditioning (zeroed MLP), >0 on
+    a random init, differentiable, and reported in aux."""
+    kw = dict(d=32, nf=8, nb=2)
+    proxy = PixelWiseISOProxy(**kw, smooth_iso_w=1.0)
+    clean = jnp.full((2, 8, 8, 4), 0.01)
+    iso = jnp.full((2,), 1600.0)
+    variables = proxy.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, clean, iso
+    )
+    noise = proxy.apply(
+        variables, clean, iso, rngs={"sample": jax.random.key(2)}, mode="sample"
+    )
+    nll, aux = proxy.apply(variables, noise, iso, mode="loss")
+    pen = float(aux["iso_curvature"])
+    assert np.isfinite(float(nll)) and pen > 0.0
+
+    # zero every MLP kernel: raw = bias, constant across the ISO grid, so
+    # the curvature must vanish exactly (softmax-gauge centering included)
+    import jax as _jax
+
+    flat = variables["params"]
+    zeroed = _jax.tree_util.tree_map_with_path(
+        lambda path, x: jnp.zeros_like(x)
+        if any(getattr(p, "key", None) == "kernel" for p in path) else x,
+        flat)
+    _, aux0 = proxy.apply({"params": zeroed}, noise, iso, mode="loss")
+    assert float(aux0["iso_curvature"]) == 0.0
+
+    # the penalty is trainable: its gradient w.r.t. params is finite
+    def loss_fn(p):
+        nll_, _ = proxy.apply({"params": p}, noise, iso, mode="loss")
+        return nll_
+
+    g = _jax.grad(loss_fn)(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in _jax.tree.leaves(g))
+
+    # baseline (weight 0) reports no penalty key and a matching base NLL
+    base = PixelWiseISOProxy(**kw)
+    nll_b, aux_b = base.apply(variables, noise, iso, mode="loss")
+    assert "iso_curvature" not in aux_b
+    assert abs(float(nll) - proxy.smooth_iso_w * pen - float(nll_b)) < 1e-5
+
+
 def test_proxy_anchor_mode_scales_with_iso():
     """'+anchor' shifts the heads' log-scales by log(K(iso)/K(1600)): at
     init the dark-noise draw spread must grow with ISO (the physics prior),

@@ -71,6 +71,9 @@ def main(argv=None):
     # the real A/B's uniform +0.039 dB proxy advantage were harness scatter,
     # this control scatters just as wide; if the control reads ~0.000, the
     # proxy advantage is a real systematic. No proxy is trained in this mode.
+    ap.add_argument("--smooth-iso", type=float, default=0.0,
+                    help="ISO-curvature smoothness weight for the proxy "
+                         "(models/proxy.py smooth_iso_w)")
     ap.add_argument("--null", action="store_true",
                     help="physics-vs-physics control: arm B = same law, "
                     "different noise keys; measures the harness's own "
@@ -136,7 +139,7 @@ def main(argv=None):
         )
 
     # ------------- stage 1: proxy on the ISO ladder (trained ISOs only) ----
-    proxy = PixelWiseISOProxy(d=a.d, nf=16, nb=2)
+    proxy = PixelWiseISOProxy(d=a.d, nf=16, nb=2, smooth_iso_w=a.smooth_iso)
     pvars = proxy.init(
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
         jnp.zeros((1, 32, 32, 4)), jnp.full((1,), 1600.0))

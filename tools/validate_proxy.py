@@ -59,6 +59,11 @@ def main(argv=None):
     ap.add_argument("--save", default="",
                     help="pickle the trained proxy params here (post-hoc "
                          "diagnostics: tools/diagnose_proxy_fit.py)")
+    ap.add_argument("--smooth-iso", type=float, default=0.0,
+                    help="ISO-curvature smoothness weight (models/proxy.py "
+                         "smooth_iso_w) — anchors interpolation between "
+                         "ladder ISOs toward log-linear; probe for the "
+                         "held-out under-dispersion")
     a = ap.parse_args(argv)
     pw = a.patch_w or a.patch
 
@@ -99,7 +104,7 @@ def main(argv=None):
                               params_at(iso, n), "pgrq", ori=True)
 
     proxy = PixelWiseISOProxy(d=a.d, nf=16, nb=2, mode=a.mode,
-                              smooth_s0=a.s0)
+                              smooth_s0=a.s0, smooth_iso_w=a.smooth_iso)
     pvars = proxy.init(
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
         jnp.zeros((1, a.patch, pw, 4)), jnp.full((1,), 1600.0),
