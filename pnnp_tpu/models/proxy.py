@@ -186,6 +186,34 @@ class QuantileHead(nn.Module):
         return QuantileHead._mix_tail(hp, u, u_choice, core)
 
     @staticmethod
+    def mean(hp: HeadParams) -> jnp.ndarray:
+        """Closed-form mean of the PWL+Laplace mixture, [n, 1] (ADU)."""
+        v = hp.knots
+        m1_core = jnp.mean(0.5 * (v[:, :-1] + v[:, 1:]), axis=-1,
+                           keepdims=True)
+        mu = 0.5 * (v[:, :1] + v[:, -1:])
+        return (1.0 - hp.tail_pi) * m1_core + hp.tail_pi * mu
+
+    @staticmethod
+    def center(hp: HeadParams) -> HeadParams:
+        """Shift the law so its mixture mean is exactly zero.
+
+        The mean is LINEAR in the knots (core midpoints and the Laplace
+        center mu both shift 1:1 with them), so subtracting the closed-form
+        mean from every knot zeroes it in one exact step. Physics-guided
+        constraint (round-5 A/B autopsy): dark read noise after black-level
+        subtraction is zero-mean BY CALIBRATION — but maximum likelihood
+        barely pins the location of a wide law (a 0.5 ADU shift on a
+        14-ADU-sigma law costs ~1e-4 nats and is invisible at integer-ADU
+        KLD binning), and the ratio-amplified synth turns exactly that
+        drift into a global brightness bias the denoiser learns: the
+        measured -0.52 ADU pixel-mean drift at ISO 12800 predicted the
+        recipe A/B's -4.5 dB cell at ratio 300 to within 0.1 dB. The mean
+        is physics; only shape and scale are learned.
+        """
+        return hp._replace(knots=hp.knots - QuantileHead.mean(hp))
+
+    @staticmethod
     def variance(hp: HeadParams) -> jnp.ndarray:
         """Closed-form variance of the PWL+Laplace mixture, [n, 1] (ADU^2).
 
@@ -346,6 +374,12 @@ class PixelWiseISOProxy(nn.Module):
     smooth_iso_grid: Sequence[float] = (
         800.0, 1131.4, 1600.0, 2262.7, 3200.0, 4525.5, 6400.0, 9050.9,
         12800.0)
+    # Zero-mean constraint on both heads (QuantileHead.center): dark read
+    # noise after black subtraction is zero-mean by physics; ML alone lets
+    # the location drift ~0.5 ADU at high ISO (invisible to NLL and KLD,
+    # catastrophic after ratio amplification — see center()'s docstring).
+    # Default ON; opt out only for A/B forensics of the drift itself.
+    zero_mean: bool = True
 
     def _iso_feat(self, iso: jnp.ndarray) -> jnp.ndarray:
         """Normalized ISO features: [K(iso), log-ISO] — the '+iso' conditioning."""
@@ -383,6 +417,10 @@ class PixelWiseISOProxy(nn.Module):
             log_anchor = jnp.log(feat[:, :1] / k1600)
         hp_px = pixel_head(feat, log_anchor)
         hp_row = row_head(feat, log_anchor) if row_head is not None else None
+        if self.zero_mean:
+            hp_px = QuantileHead.center(hp_px)
+            hp_row = (QuantileHead.center(hp_row)
+                      if hp_row is not None else None)
 
         if mode == "sample":
             if rng is None:

@@ -163,6 +163,46 @@ def test_proxy_sample_and_loss():
     assert np.isfinite(float(nll))
 
 
+def test_proxy_zero_mean_centering():
+    """QuantileHead.center zeroes the mixture mean exactly (the mean is
+    linear in the knots), and the default proxy samples a zero-mean law —
+    the round-5 physics constraint: ML leaves ~0.5 ADU location drift at
+    high ISO that ratio amplification turns into a -4.5 dB A/B failure."""
+    from pnnp_tpu.models.proxy import HeadParams, QuantileHead
+
+    # deliberately asymmetric head: support [-3, +9], heavy off-center tail
+    knots = jnp.linspace(-3.0, 9.0, 33)[None, :]
+    hp = HeadParams(knots, jnp.log(jnp.array([[6.0]])),
+                    jnp.array([[0.4]]), jnp.array([[2.0]]))
+    m0 = float(QuantileHead.mean(hp)[0, 0])
+    assert abs(m0) > 1.0  # the raw law really is off-center
+    hc = QuantileHead.center(hp)
+    assert abs(float(QuantileHead.mean(hc)[0, 0])) < 1e-5
+    # variance is shift-invariant
+    assert np.isclose(float(QuantileHead.variance(hc)[0, 0]),
+                      float(QuantileHead.variance(hp)[0, 0]), rtol=1e-5)
+    # sampled mean agrees with the closed form (centering is the SAMPLED law)
+    u = jax.random.uniform(jax.random.key(0), (1, 200_000),
+                           minval=1e-6, maxval=1 - 1e-6)
+    c = jax.random.uniform(jax.random.key(1), (1, 200_000))
+    draw = QuantileHead.quantile(hc, u, c)
+    assert abs(float(jnp.mean(draw))) < 0.05  # MC err ~ sigma/sqrt(N)
+
+    # the default proxy (zero_mean=True) emits zero-mean read noise; the
+    # opt-out reproduces whatever the raw heads say
+    proxy = PixelWiseISOProxy(d=32, nf=8, nb=2)
+    clean = jnp.zeros((2, 32, 32, 4))
+    iso = jnp.full((2,), 12800.0)
+    v = proxy.init({"params": jax.random.key(3), "sample": jax.random.key(4)},
+                   clean, iso)
+    noise = proxy.apply(v, clean, iso, rngs={"sample": jax.random.key(5)},
+                        mode="sample")
+    span = proxy.wp - proxy.bl
+    assert abs(float(jnp.mean(noise)) * span) < 0.15  # ADU; MC-limited
+    nll, _ = proxy.apply(v, noise, iso, mode="loss")
+    assert np.isfinite(float(nll))
+
+
 def test_proxy_iso_curvature_penalty():
     """smooth_iso_w: zero for ISO-constant conditioning (zeroed MLP), >0 on
     a random init, differentiable, and reported in aux."""

@@ -236,11 +236,28 @@ def test_trainer_int8_eval(tmp_path, monkeypatch):
     t16.dataset_eval.change_eval_ratio(100)
     t16.eval(-1)
 
+    # pin the production calibration recipe to the validated one: the first
+    # int8_cal_frames (default 3) eval frames as traffic, pct=99.95 — the
+    # exact config tools/validate_int8.py --cal-from-eval --cal-frames 3
+    # measured (one frame alone measured -0.10 dB mean vs disjoint-x3)
+    import pnnp_tpu.models.unet_s2d_int8 as i8mod
+
+    cal_spy = {}
+    real_cal = i8mod.calibrate_act_scales
+
+    def spy(tp, frames, pct=100.0, **kw):
+        cal_spy["n"], cal_spy["pct"] = len(frames), pct
+        return real_cal(tp, frames, pct=pct, **kw)
+
+    monkeypatch.setattr(i8mod, "calibrate_act_scales", spy)
+
     t8 = force_fused(Trainer(str(tmp_path / "i8.yml"), mode="eval",
                              nofig=True, debug=True, int8=True))
     t8.dataset_eval.change_eval_ratio(100)
+    assert t8.int8_cal_frames == 3  # the validated default
     t8.eval(-1)
     assert t8._int8_cache["step"] is not None  # int8 path actually served
+    assert cal_spy == {"n": 3, "pct": 99.95}, cal_spy
     assert t8.eval_psnr.count == t16.eval_psnr.count > 0
     assert np.isfinite(t8.eval_psnr.avg)
     # random-init weights at nf=4 are a far harsher quantization target than

@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument("--d", type=int, default=256)
     ap.add_argument("--mode", default="2stage+iso")
     ap.add_argument("--s0", type=float, default=0.3)
+    ap.add_argument("--no-zero-mean", action="store_true",
+                    help="do NOT center the heads (pre-fix fits; production "
+                         "default centers — models/proxy.py zero_mean)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--isos", type=int, nargs="*",
                     default=[800, 1600, 3200, 12800, 6400])
@@ -69,6 +72,8 @@ def main(argv=None):
             {"params": params["pixel_stage"]}, feat)
         row = QuantileHead(a.d, 16, 2).apply(
             {"params": params["row_stage"]}, feat)
+        if not a.no_zero_mean:
+            px, row = QuantileHead.center(px), QuantileHead.center(row)
         return px, row
 
     M = 1 << 20
@@ -97,10 +102,15 @@ def main(argv=None):
                                        wp=t["wp"])["kl_sym"])
         pxp = (float(hp_px.tail_pi[0, 0]), float(hp_px.tail_b[0, 0]))
         rwp = (float(hp_row.tail_pi[0, 0]), float(hp_row.tail_b[0, 0]))
+        # location: ML barely pins it, the ratio-amplified synth punishes it
+        # (round-5 A/B autopsy: -0.52 ADU at 12800 was the -4.5 dB cell)
+        m_px = float(QuantileHead.mean(hp_px)[0, 0])
+        m_row = float(QuantileHead.mean(hp_row)[0, 0])
         print(f"{iso:>7} | {v_model:12.2f} {v_true:11.2f} "
               f"{v_model / max(v_true, 1e-9):6.3f} | {row_std:13.3f} "
               f"{sigR:6.3f} {row_std / sigR:6.3f} {kld:8.4f} | "
-              f"({pxp[0]:.3f},{pxp[1]:.1f}) ({rwp[0]:.3f},{rwp[1]:.1f})")
+              f"({pxp[0]:.3f},{pxp[1]:.1f}) ({rwp[0]:.3f},{rwp[1]:.1f}) | "
+              f"mean px {m_px:+.4f} row {m_row:+.4f} ADU")
         # pixel tail mass: model (full sampling path incl. s0) vs physics —
         # the amplified-ratio training regime lives in these quantiles
         k6, k7, k8 = jax.random.split(jax.random.key(iso + 9), 3)

@@ -128,10 +128,14 @@ def validate(a, jnp, jax):
 
     if a.cal_from_eval:
         # EXACTLY Trainer._int8_eval_step's production recipe (trainer.py):
-        # calibrate from the FIRST eval frame — one frame, non-disjoint
-        # traffic. This measures whether the one-frame shortcut costs
-        # accuracy vs the gated multi-frame disjoint calibration.
-        cal_frames = [s2d(eval_frames[ratios[0]][0][1])]
+        # calibrate from the first N eval frames (non-disjoint traffic),
+        # N = --cal-frames (trainer default int8_cal_frames=3; N=1 is the
+        # round-4 one-frame shortcut, measured -0.10 dB mean vs disjoint-x3
+        # on the same checkpoint). Frames arrive one ratio after another in
+        # the trainer's sweep, so take the first frame of each ratio.
+        n = max(a.cal_frames, 1)
+        cal_frames = [s2d(eval_frames[ratios[i % len(ratios)]][i // len(ratios)][1])
+                      for i in range(n)]
     else:
         # Calibration traffic: separate scenes + noise draws, mixed ratios.
         cal_rng = np.random.default_rng(7)
@@ -193,7 +197,7 @@ def validate(a, jnp, jax):
     print(json.dumps({
         "metric": "int8_psnr_delta", "value": round(delta, 4), "unit": "dB",
         "camera": a.camera, "cal_pct": best,
-        "cal_mode": ("one-frame-from-eval" if a.cal_from_eval
+        "cal_mode": (f"from-eval x{len(cal_frames)}" if a.cal_from_eval
                      else f"disjoint x{len(cal_frames)}"),
         "worst_ratio_delta": round(worst, 4),
         "bf16_vs_f32": round(float(np.mean(
