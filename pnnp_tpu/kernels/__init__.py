@@ -85,6 +85,33 @@ post-mortems matter more than the code; both are preserved in git history.
    Ceiling arithmetic: 21.1 = ~19.5 ms compute at XLA's measured dense
    rates + ~1.5 ms loop floor; no remaining addressable component >1 ms.
 
+6. **int8 band-by-band roofline close-out** (round 5, measurement only —
+   tools/int8_roofline.py, v5e, 712x1064 packed, composed prefix marginals
+   vs per-shape isolated MXU rates from tools/bench_int8.py):
+
+   | band | TFLOP | measured ms | at-isolated-rates ms | verdict |
+   |---|---:|---:|---:|---|
+   | head | 0.251 | 5.10 | 5.00 | closed (conv1_1 at its narrow-Cin floor) |
+   | c2 | 0.084 | 1.85 | 1.86 | closed |
+   | c3 | 0.084 | 0.74 | 1.24 | closed, 1.7x BETTER composed |
+   | c4+c5 | 0.168 | 0.82 | 1.86 | closed, 2.3x better |
+   | c6+c7 | 0.360 | 1.62 | 6.49 | closed, 4.0x better |
+   | c8 | 0.180 | 3.54 | 5.10 | closed |
+   | tail | 0.561 | 5.18 | 6.31 | closed |
+
+   Every serving band's composed marginal meets or beats what the band
+   would cost at each op's ISOLATED measured rate (the deep bands run
+   2-4x faster composed — XLA overlaps their small grids with neighbors).
+   The two r4 "unattacked" bands resolve as: head — the bf16 conv1_1 is
+   AT the narrow-GEMM floor and s8 16->128 measured 0.72x SLOWER than
+   bf16 (bench_int8, lane-padded input), so there is no lower-precision
+   rate to harvest; c8/tail — already at/above their own isolated s8
+   rates. An int4 probe (s4xs4->s32 conv on the dominant 128-ch shape)
+   fails to lower: "UNIMPLEMENTED: TPU backend error" — no int4 MXU path
+   exists on this backend/toolchain. 686 Mpix/s int8 is the machine's
+   number for this architecture; moving it requires different MATH
+   (fewer/denser MACs), not a better schedule or narrower dtype.
+
 Net lesson for this workload: with both GEMM dims 128-aligned (the whole
 point of the s2d representation), XLA's conv scheduling is already at the
 machine's effective roofline; hand kernels pay off only when they change

@@ -196,7 +196,8 @@ def _walk(tparams, g1, dtype, record=None, qparams=None, record_pct=100.0):
 
 def calibrate_act_scales(tparams: dict, frames: Iterable[jnp.ndarray],
                          dtype: Any = jnp.bfloat16,
-                         pct: float = 100.0) -> dict:
+                         pct: float = 100.0,
+                         combine: str = "max") -> dict:
     """Per-quant-input activation scales over packed frames.
 
     ``tparams`` from ``transform_params_hybrid``; ``frames`` an iterable of
@@ -212,11 +213,23 @@ def calibrate_act_scales(tparams: dict, frames: Iterable[jnp.ndarray],
     exactness-style tests see the full range.
     """
     record: dict = {}
+    n = 0
     for g1 in frames:
         rec: dict = {}
         _walk(tparams, g1, dtype, record=rec, record_pct=pct)
+        n += 1
         for name, v in rec.items():
-            record[name] = max(record.get(name, 0.0), float(v))
+            if combine == "mean":
+                record[name] = record.get(name, 0.0) + float(v)
+            else:
+                record[name] = max(record.get(name, 0.0), float(v))
+    if combine == "mean" and n:
+        # mean of per-frame percentiles: one hot frame no longer dictates
+        # every tensor's scale (with max-combining, 3 eval frames measured
+        # IDENTICAL to their single hottest frame; smaller scales
+        # consistently beat larger on trained checkpoints — see the pct
+        # sweep in the docstring)
+        record = {name: v / n for name, v in record.items()}
     # every observed input (QUANT_LAYERS + OPTIONAL_QUANT) gets a scale;
     # quantize_params_int8's `quant` set decides what actually quantizes
     return {name: max(v, 1e-12) / 127.0 for name, v in record.items()}

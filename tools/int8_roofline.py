@@ -111,7 +111,7 @@ def main(argv=None):
     for (name, ops), meas in zip(bands, marginals):
         tflop = sum(f for _, f, _ in ops) / 1e12
         iso_ms = sum(f / 1e12 / iso_rates[cls] * 1e3 for _, f, cls in ops)
-        eff = tflop / max(meas, 1e-9) * 1e3
+        eff = tflop / max(meas, 1e-9)  # dense TFLOP / seconds = TOP/s
         verdict = ("CLOSED (>= isolated rate)" if meas <= iso_ms * 1.05
                    else f"{meas / iso_ms:.2f}x isolated-rate cost")
         print(f"{name:>7} | {tflop:7.4f} | {meas*1e3:11.2f} | {eff:9.1f} | "

@@ -152,7 +152,8 @@ def validate(a, jnp, jax):
     pcts = [float(p) for p in str(a.pct).split(",")]
     fwd_int8 = {}
     for pct in pcts:
-        scales = calibrate_act_scales(tparams, cal_frames, pct=pct)
+        scales = calibrate_act_scales(tparams, cal_frames, pct=pct,
+                                      combine=a.cal_combine)
         qparams = quantize_params_int8(tparams, scales)
         fwd_int8[pct] = jax.jit(
             lambda g, qp=qparams: d2s(unet_hybrid_forward_packed_int8(
@@ -197,8 +198,10 @@ def validate(a, jnp, jax):
     print(json.dumps({
         "metric": "int8_psnr_delta", "value": round(delta, 4), "unit": "dB",
         "camera": a.camera, "cal_pct": best,
-        "cal_mode": (f"from-eval x{len(cal_frames)}" if a.cal_from_eval
-                     else f"disjoint x{len(cal_frames)}"),
+        "cal_mode": ((f"from-eval x{len(cal_frames)}" if a.cal_from_eval
+                      else f"disjoint x{len(cal_frames)}")
+                     + (f" {a.cal_combine}" if a.cal_combine != "max"
+                        else "")),
         "worst_ratio_delta": round(worst, 4),
         "bf16_vs_f32": round(float(np.mean(
             [r["psnr_bf16"] - r["psnr_f32"] for r in rows[best]])), 4),
@@ -227,6 +230,10 @@ def main(argv=None):
                     help="IMX686 uses the LRID law (point ISO-6400, only K "
                          "jittered) and the dgain ladder {1,2,4,8,16}")
     ap.add_argument("--ckpt", default="/tmp/pnnp_int8_ckpt.npz")
+    ap.add_argument("--cal-combine", default="max", choices=("max", "mean"),
+                    help="per-frame percentile combining across calibration "
+                         "frames (max-combining lets one hot frame dictate "
+                         "every scale)")
     ap.add_argument("--cal-frames", type=int, default=0,
                     help="restrict the disjoint calibration traffic to the "
                          "first N frames (0 = all)")
