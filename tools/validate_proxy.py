@@ -160,7 +160,13 @@ def main(argv=None):
     t0 = time.time()
     key = jax.random.key(7)
     nll = float("nan")
-    chunk = min(500, a.steps)
+    # XLA:CPU compile time blows up super-linearly in the scan length for
+    # the s0-convolved likelihood body (500-step chunk: >45 min before the
+    # first dispatch on the 1-core host; 50-step chunk: the whole 5-ISO
+    # 50-step run in 61 s). The TPU toolchain compiles the 500-step chunk
+    # in ~1 min, and long chunks are what amortize the tunnel round-trip —
+    # so the cap is backend-dependent.
+    chunk = min(50 if jax.default_backend() == "cpu" else 500, a.steps)
     done = 0
     while done < a.steps:
         n = min(chunk, a.steps - done)
